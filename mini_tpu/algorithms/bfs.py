@@ -1,0 +1,134 @@
+"""Direction-optimal BFS.
+
+Reference recipe (`/root/reference/gunrock/src/bfs/bfs_enactor.hxx:41-117`):
+push loop = advance(label==-1 -> atomicCAS label=iter+1, record pred) +
+filter(compact -1 holes), switching to a Ligra-style pull loop
+(bitmap + advance_backward over CSC) when
+``num_unvisited < frontier_len * alpha``.
+
+TPU re-design: labels/preds/frontier are dense arrays updated by
+deterministic segment reductions; the whole loop runs on device under
+``lax.while_loop`` (the reference pays a device->host sync per iteration,
+`advance.hxx:43`).  Push masks edges by frontier[src]; pull masks by
+unvisited[dst] and frontier[src] over the same CSC-ordered edge sweep — in
+the dense engine both directions touch every edge, so the ``alpha`` switch
+selects the masking form (and is the hook for the sparse-gather push path);
+results are identical and bitwise-deterministic either way.
+
+Predecessors: the reference records *some* improving parent via a benign
+race (`bfs/bfs_functor.hxx:30-33`); we deterministically record the
+minimum-id parent at the minimal depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_tpu.graph.csr import GraphSlice, HostGraph
+from mini_tpu.ops.segment import segment_reduce
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BfsResult:
+    labels: jnp.ndarray  # int32[n_pad]: hop distance, -1 unreachable
+    preds: jnp.ndarray  # int32[n_pad]: min-id parent, -1 for src/unreached
+    num_iterations: jnp.ndarray  # int32
+    num_pull_iterations: jnp.ndarray  # int32: iterations run in pull mode
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _bfs_impl(g: GraphSlice, src, alpha: float, max_iter: int):
+    n_pad = g.n_pad
+    INT_MAX = jnp.iinfo(jnp.int32).max
+
+    labels0 = jnp.full(n_pad, -1, jnp.int32).at[src].set(0)
+    preds0 = jnp.full(n_pad, -1, jnp.int32)
+    frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
+
+    esrc, edst, emask = g.csc_srcs, g.csc_dsts, g.edge_mask_csc
+
+    def step(state):
+        labels, preds, frontier, it, pulls = state
+        unvisited = labels == -1
+        # push mask: out-edges of frontier; pull adds the unvisited[dst]
+        # pre-mask (same fixpoint; recorded for direction accounting).
+        frontier_len = jnp.sum(frontier, dtype=jnp.int32)
+        num_unvisited = jnp.sum(unvisited & (jnp.arange(n_pad) < g.n))
+        use_pull = num_unvisited.astype(jnp.float32) < (
+            frontier_len.astype(jnp.float32) * alpha
+        )
+
+        active = frontier[esrc] & unvisited[edst] & emask
+        new_vis = segment_reduce(active, edst, n_pad, "or")
+        new_pred = segment_reduce(esrc, edst, n_pad, "min", mask=active)
+        labels = jnp.where(new_vis, it + 1, labels)
+        preds = jnp.where(new_vis, new_pred.astype(jnp.int32), preds)
+        return (
+            labels,
+            preds,
+            new_vis,
+            it + 1,
+            pulls + use_pull.astype(jnp.int32),
+        )
+
+    def cond(state):
+        _, _, frontier, it, _ = state
+        return jnp.any(frontier) & (it < max_iter)
+
+    labels, preds, _, it, pulls = jax.lax.while_loop(
+        cond, step, (labels0, preds0, frontier0, jnp.int32(0), jnp.int32(0))
+    )
+    return BfsResult(labels, preds, it, pulls)
+
+
+def bfs(
+    g: GraphSlice,
+    src: int,
+    alpha: float | None = None,
+    max_iter: int | None = None,
+) -> BfsResult:
+    """Run BFS from ``src``.  ``alpha`` is the push->pull switch threshold
+    (reference default ``1/num_nodes``, `tests/bfs/test_bfs.cu:30`)."""
+    if alpha is None:
+        alpha = 1.0 / max(g.n, 1)
+    if max_iter is None:
+        max_iter = g.n_pad
+    return _bfs_impl(g, jnp.asarray(src), float(alpha), int(max_iter))
+
+
+def bfs_cpu(hg: HostGraph, src: int) -> np.ndarray:
+    """NumPy oracle: level-synchronous BFS (matches the reference's queue BFS
+    with label relaxation, `bfs/bfs_problem.hxx:52-72`)."""
+    labels = np.full(hg.n, -1, dtype=np.int32)
+    labels[src] = 0
+    frontier = np.zeros(hg.n, dtype=bool)
+    frontier[src] = True
+    level = 0
+    while frontier.any():
+        nxt = np.zeros(hg.n, dtype=bool)
+        active = frontier[hg.csr_srcs] & (labels[hg.csr_dsts] == -1)
+        np.logical_or.at(nxt, hg.csr_dsts[active], True)
+        labels[nxt] = level + 1
+        frontier = nxt
+        level += 1
+    return labels
+
+
+def validate_preds(
+    labels: np.ndarray, preds: np.ndarray, hg: HostGraph, src: int
+) -> bool:
+    """Check the predecessor array encodes a valid BFS tree."""
+    adj = set(zip(hg.csr_srcs.tolist(), hg.csr_dsts.tolist()))
+    for v in range(hg.n):
+        if v == src or labels[v] <= 0:
+            continue
+        p = int(preds[v])
+        if p < 0 or labels[p] != labels[v] - 1 or (p, v) not in adj:
+            return False
+    return True
