@@ -1,0 +1,117 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric
+(BFS MTEPS per chip on an RMAT graph) and writes the full suite to
+BENCH_DETAILS.json.
+
+The reference publishes no numbers (SURVEY.md §6); BASELINE_MTEPS below is
+this framework's first measured TPU value, recorded in BASELINE.md —
+``vs_baseline`` tracks improvement against it.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+# First-light TPU v5e measurement (see BASELINE.md); update only with the
+# committed history, never per-run.
+BASELINE_MTEPS = 1000.0
+
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+EDGE_FACTOR = 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mini_tpu.graph import rmat, GraphSlice
+    from mini_tpu.algorithms import bfs, sssp, pagerank
+    from mini_tpu.models.gcn import gcn_normalize, gcn_init, gcn_forward
+    from mini_tpu.utils.timing import time_fn
+
+    results = {}
+    dev = jax.devices()[0]
+    results["device"] = str(dev)
+    results["scale"] = SCALE
+
+    hg = rmat(SCALE, edge_factor=EDGE_FACTOR, seed=0, undirected=True,
+              weighted=True)
+    gs = GraphSlice.from_host(hg)
+    results["n"], results["m"] = hg.n, hg.m
+
+    # ---------------- BFS (headline) ----------------
+    res = bfs(gs, 0)
+    reached = np.asarray(res.labels)[: hg.n] >= 0
+    edges_touched = float(hg.out_degrees[reached].sum()) * int(
+        res.num_iterations
+    ) / max(int(res.num_iterations), 1)
+    # standard MTEPS accounting: edges in the reached component
+    edges_reached = float(hg.out_degrees[reached].sum())
+    t = time_fn(lambda: bfs(gs, 0), warmup=2, repeat=5)
+    bfs_mteps = edges_reached / t.min_s / 1e6
+    results["bfs"] = {
+        "iterations": int(res.num_iterations),
+        "time_ms": t.min_s * 1e3,
+        "mteps": bfs_mteps,
+    }
+
+    # ---------------- SSSP ----------------
+    res_s = sssp(gs, 0)
+    t = time_fn(lambda: sssp(gs, 0), warmup=2, repeat=3)
+    results["sssp"] = {
+        "iterations": int(res_s.num_iterations),
+        "time_ms": t.min_s * 1e3,
+        "mteps": edges_reached / t.min_s / 1e6,
+    }
+
+    # ---------------- PageRank ----------------
+    res_p = pagerank(gs, max_iter=30)
+    iters = max(int(res_p.num_iterations), 1)
+    t = time_fn(lambda: pagerank(gs, max_iter=30), warmup=1, repeat=3)
+    results["pagerank"] = {
+        "iterations": iters,
+        "time_ms": t.min_s * 1e3,
+        "edges_per_s": hg.m * iters / t.min_s,
+    }
+
+    # ---------------- GCN forward (SpMM path) ----------------
+    F = 128
+    norm = gcn_normalize(gs)
+    params = gcn_init(jax.random.PRNGKey(0), [F, F, 32])
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(gs.n_pad, F).astype(np.float32))
+    for impl in ("xla", "pallas"):
+        if impl == "pallas" and jax.default_backend() != "tpu":
+            continue
+        try:
+            fwd = jax.jit(
+                lambda p, xx: gcn_forward(p, gs, norm, xx, impl=impl)
+            )
+            t = time_fn(lambda: fwd(params, x), warmup=2, repeat=5)
+            results[f"gcn_{impl}"] = {
+                "time_ms": t.min_s * 1e3,
+                "agg_edges_per_s": 2 * hg.m / t.min_s,
+                "spmm_gflops": 2 * 2 * hg.m * F / t.min_s / 1e9,
+            }
+        except Exception as exc:  # keep the headline alive
+            results[f"gcn_{impl}"] = {"error": repr(exc)[:300]}
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"bfs_mteps_rmat{SCALE}",
+                "value": round(bfs_mteps, 2),
+                "unit": "MTEPS",
+                "vs_baseline": round(bfs_mteps / BASELINE_MTEPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

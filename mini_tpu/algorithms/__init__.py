@@ -1,0 +1,24 @@
+from mini_tpu.algorithms.bfs import bfs, bfs_cpu, BfsResult, validate_preds  # noqa: F401
+from mini_tpu.algorithms.sssp import (  # noqa: F401
+    sssp,
+    sssp_cpu,
+    SsspResult,
+    validate_pred_tree,
+)
+from mini_tpu.algorithms.pagerank import (  # noqa: F401
+    pagerank,
+    pagerank_cpu,
+    PageRankResult,
+)
+from mini_tpu.algorithms.coloring import (  # noqa: F401
+    coloring,
+    validate_coloring,
+    ColoringResult,
+)
+from mini_tpu.algorithms.kcore import kcore, kcore_cpu, KCoreResult  # noqa: F401
+from mini_tpu.algorithms.lspar import (  # noqa: F401
+    lspar,
+    lspar_cpu,
+    LsparResult,
+    is_prime,
+)

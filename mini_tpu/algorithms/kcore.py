@@ -1,0 +1,107 @@
+"""k-core decomposition by iterative peeling.
+
+Reference recipe (`/root/reference/gunrock/src/kcore/kcore_enactor.hxx:41-84`):
+for k = 1..n, repeatedly filter out vertices with ``0 < degree < k``
+(recording core number k-1 and zeroing their degree), then advance over the
+removed set decrementing each out-neighbor's degree with atomicAdd
+(`kcore/kcore_functor.hxx:31-35`); when no vertex with degree >= k survives,
+the largest k-core is k-1.
+
+TPU re-design: degrees/cores are dense arrays; the degree decrement is a
+segment-sum of removed-source edge counts (deterministic, replacing
+atomicAdd); both the peel loop and the outer k loop are on-device
+``lax.while_loop``s — zero host round-trips.  Degrees carry over between k
+values exactly as the reference's persistent ``d_degrees`` does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_tpu.graph.csr import GraphSlice, HostGraph
+from mini_tpu.ops.segment import segment_reduce
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KCoreResult:
+    num_cores: jnp.ndarray  # int32[n_pad]: core number per vertex
+    largest_k_core: jnp.ndarray  # int32
+    num_iterations: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _kcore_impl(g: GraphSlice, max_k: int):
+    n_pad = g.n_pad
+    esrc, edst, emask = g.csc_srcs, g.csc_dsts, g.edge_mask_csc
+
+    deg0 = g.out_degrees.astype(jnp.int32)
+    cores0 = jnp.zeros(n_pad, jnp.int32)
+
+    def peel_round(state):
+        deg, cores, k, iters = state
+        peel = (deg < k) & (deg > 0)
+        cores = jnp.where(peel, k - 1, cores)
+        dec = segment_reduce(
+            peel[esrc].astype(jnp.int32), edst, n_pad, "sum", mask=emask
+        )
+        deg = jnp.where(peel, 0, deg - dec)
+        return deg, cores, k, iters + 1
+
+    def peel_cond(state):
+        deg, _, k, _ = state
+        return jnp.any((deg < k) & (deg > 0))
+
+    def outer_body(state):
+        deg, cores, k, largest, iters = state
+        deg, cores, _, iters = jax.lax.while_loop(
+            peel_cond, peel_round, (deg, cores, k, iters)
+        )
+        survivors = jnp.sum((deg >= k).astype(jnp.int32))
+        done = survivors == 0
+        largest = jnp.where(done, k - 1, largest)
+        return deg, cores, k + 1, largest, iters
+
+    def outer_cond(state):
+        _, _, k, largest, _ = state
+        return (largest < 0) & (k <= max_k)
+
+    _, cores, _, largest, iters = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        (deg0, cores0, jnp.int32(1), jnp.int32(-1), jnp.int32(0)),
+    )
+    return KCoreResult(cores, largest, iters)
+
+
+def kcore(g: GraphSlice) -> KCoreResult:
+    # k never needs to exceed max degree + 1
+    max_k = int(np.asarray(g.out_degrees).max()) + 1
+    return _kcore_impl(g, max_k)
+
+
+def kcore_cpu(hg: HostGraph) -> tuple[np.ndarray, int]:
+    """NumPy oracle mirroring the reference CPU peeling
+    (`kcore/kcore_problem.hxx:54-105`)."""
+    deg = hg.out_degrees.astype(np.int64).copy()
+    cores = np.zeros(hg.n, dtype=np.int32)
+    largest = -1
+    for k in range(1, hg.n + 2):
+        while True:
+            peel = (deg < k) & (deg > 0)
+            if not peel.any():
+                break
+            cores[peel] = k - 1
+            dec = np.zeros(hg.n, dtype=np.int64)
+            active = peel[hg.csr_srcs]
+            np.add.at(dec, hg.csr_dsts[active], 1)
+            deg = np.where(peel, 0, deg - dec)
+        if (deg >= k).sum() == 0:
+            largest = k - 1
+            break
+    return cores, largest

@@ -1,0 +1,132 @@
+"""Single-source shortest paths (frontier Bellman-Ford).
+
+Reference recipe (`/root/reference/gunrock/src/sssp/sssp_enactor.hxx:40-72`):
+advance relaxes ``dist[dst] = atomicMin(dist[dst], dist[src]+w)`` via a CAS
+loop (`intrinsics.hxx:12-22`, `sssp/sssp_functor.hxx:20-28`), then a filter
+drops -1 holes and per-iteration duplicates via a visited stamp
+(`sssp/sssp_functor.hxx:12-18`), until the frontier empties.
+
+TPU re-design: the relax step is a single segmented float-min over the
+CSC-ordered edge sweep, masked by frontier membership — deterministic (min is
+exact in f32, order-independent), so distances are bitwise-reproducible; the
+visited-stamp dedup is subsumed by the bitmap frontier (a set, not a queue).
+Predecessors are the minimum-id parent among distance-minimizing edges
+(replacing the reference's benign-race pred write,
+`sssp/sssp_functor.hxx:30-33`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import heapq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_tpu.graph.csr import GraphSlice, HostGraph
+from mini_tpu.ops.segment import segment_reduce
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SsspResult:
+    dists: jnp.ndarray  # float32[n_pad], inf = unreachable
+    preds: jnp.ndarray  # int32[n_pad], -1 for src/unreached
+    num_iterations: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sssp_impl(g: GraphSlice, src, max_iter: int):
+    n_pad = g.n_pad
+    inf = jnp.float32(jnp.inf)
+
+    dist0 = jnp.full(n_pad, inf, jnp.float32).at[src].set(0.0)
+    preds0 = jnp.full(n_pad, -1, jnp.int32)
+    frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
+
+    esrc, edst, ew, emask = (
+        g.csc_srcs,
+        g.csc_dsts,
+        g.csc_weights,
+        g.edge_mask_csc,
+    )
+
+    def step(state):
+        dist, preds, frontier, it = state
+        active = frontier[esrc] & emask
+        cand = jnp.where(active, dist[esrc] + ew, inf)
+        best = segment_reduce(cand, edst, n_pad, "min")
+        improved = best < dist
+        # deterministic pred: min src among edges achieving the new best
+        at_best = active & (cand == best[edst]) & improved[edst]
+        best_pred = segment_reduce(esrc, edst, n_pad, "min", mask=at_best)
+        dist = jnp.minimum(dist, best)
+        preds = jnp.where(improved, best_pred.astype(jnp.int32), preds)
+        return dist, preds, improved, it + 1
+
+    def cond(state):
+        _, _, frontier, it = state
+        return jnp.any(frontier) & (it < max_iter)
+
+    dist, preds, _, it = jax.lax.while_loop(
+        cond, step, (dist0, preds0, frontier0, jnp.int32(0))
+    )
+    return SsspResult(dist, preds, it)
+
+
+def sssp(g: GraphSlice, src: int, max_iter: int | None = None) -> SsspResult:
+    if max_iter is None:
+        max_iter = g.n_pad  # Bellman-Ford converges in <= n-1 rounds
+    return _sssp_impl(g, jnp.asarray(src), int(max_iter))
+
+
+def sssp_cpu(hg: HostGraph, src: int) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy/heapq oracle: Dijkstra in float32 (the reference oracle,
+    `sssp/sssp_problem.hxx:59-88`, truncates weights to int — fixed here).
+
+    Relaxations compute ``dist[u] + w`` in float32 exactly as the device
+    does, so resulting distances are bitwise-comparable.
+    """
+    dist = np.full(hg.n, np.inf, dtype=np.float32)
+    preds = np.full(hg.n, -1, dtype=np.int64)
+    dist[src] = 0.0
+    pq = [(np.float32(0.0), src)]
+    done = np.zeros(hg.n, dtype=bool)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if done[u]:
+            continue
+        done[u] = True
+        for e in range(hg.row_offsets[u], hg.row_offsets[u + 1]):
+            v = hg.csr_dsts[e]
+            nd = np.float32(dist[u] + hg.csr_weights[e])
+            if nd < dist[v]:
+                dist[v] = nd
+                preds[v] = u
+                heapq.heappush(pq, (nd, int(v)))
+    return dist, preds
+
+
+def validate_pred_tree(
+    dists: np.ndarray, preds: np.ndarray, hg: HostGraph, src: int
+) -> bool:
+    """preds must form a shortest-path tree: dist[v] == dist[pred] + w for
+    some edge (pred, v).  (Pred arrays are not unique when shortest paths
+    tie, so comparing against Dijkstra's preds elementwise — as the
+    reference does, `tests/sssp/test_sssp.cu:48` — is only valid on
+    tie-free graphs; this check is the robust version.)"""
+    edge_w: dict[tuple[int, int], float] = {}
+    for s, d, w in zip(hg.csr_srcs, hg.csr_dsts, hg.csr_weights):
+        key = (int(s), int(d))
+        edge_w[key] = min(edge_w.get(key, np.inf), float(w))
+    for v in range(hg.n):
+        if v == src or not np.isfinite(dists[v]):
+            continue
+        p = int(preds[v])
+        if p < 0 or (p, v) not in edge_w:
+            return False
+        if np.float32(dists[p] + np.float32(edge_w[(p, v)])) != dists[v]:
+            return False
+    return True

@@ -1,0 +1,186 @@
+"""Command-line drivers — parity with the reference test binaries
+(`/root/reference/gunrock/tests/*/test_*.cu`): load graph -> run primitive ->
+time -> extract -> CPU-validate -> report.
+
+Usage:
+    python -m mini_tpu.cli bfs --file tests/fixtures/test_bfs.mtx --src 0
+    python -m mini_tpu.cli sssp --file g.mtx --src 0 --random-weights
+    python -m mini_tpu.cli pr --file g.mtx --max-iter 50
+    python -m mini_tpu.cli coloring|kcore|lspar --file g.mtx
+    python -m mini_tpu.cli bfs --rmat-scale 16 --src 0       # generated input
+
+Flags mirror the reference CLI (`tests/test_utils.hxx:17-155` + per-driver
+flags: --src, --alpha, --undirected, --max-iter, --prime, --e, --seed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load(args):
+    from mini_tpu.graph import load_mtx, rmat, GraphSlice
+
+    if args.file:
+        hg = load_mtx(
+            args.file,
+            undirected=args.undirected,
+            random_weights=args.random_weights,
+            seed=args.seed,
+        )
+    elif args.rmat_scale:
+        hg = rmat(
+            args.rmat_scale,
+            edge_factor=args.edge_factor,
+            seed=args.seed,
+            weighted=args.random_weights,
+        )
+    else:
+        sys.exit("need --file or --rmat-scale")
+    return hg, GraphSlice.from_host(hg)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mini_tpu")
+    p.add_argument(
+        "algo",
+        choices=["bfs", "sssp", "pr", "coloring", "kcore", "lspar", "gcn"],
+    )
+    p.add_argument("--file", default=None)
+    p.add_argument("--rmat-scale", type=int, default=None)
+    p.add_argument("--edge-factor", type=int, default=16)
+    p.add_argument("--src", type=int, default=0)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--undirected", action="store_true")
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--prime", type=int, default=999983)
+    p.add_argument("--e", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--repeat", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from mini_tpu.utils.timing import time_fn
+    from mini_tpu.utils.validate import validate_exact, display_device_data
+
+    hg, gs = _load(args)
+    print(f"graph: n={hg.n} m={hg.m} (padded {gs.n_pad}/{gs.m_pad})")
+
+    if args.algo == "bfs":
+        from mini_tpu.algorithms import bfs, bfs_cpu
+
+        res = bfs(gs, args.src, alpha=args.alpha)
+        t = time_fn(lambda: bfs(gs, args.src, alpha=args.alpha))
+        reached = np.asarray(res.labels) >= 0
+        edges = hg.out_degrees[reached[: hg.n]].sum()
+        print(
+            f"iterations: {int(res.num_iterations)} "
+            f"(pull: {int(res.num_pull_iterations)})"
+        )
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms  MTEPS: {t.mteps(edges):.1f}")
+        display_device_data(res.labels, name="labels")
+        if args.validate:
+            ok = validate_exact(
+                np.asarray(res.labels)[: hg.n], bfs_cpu(hg, args.src)
+            )
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
+    elif args.algo == "sssp":
+        from mini_tpu.algorithms import sssp, sssp_cpu
+
+        res = sssp(gs, args.src)
+        t = time_fn(lambda: sssp(gs, args.src))
+        reached = np.isfinite(np.asarray(res.dists))
+        edges = hg.out_degrees[reached[: hg.n]].sum() * int(
+            res.num_iterations
+        ) / max(int(res.num_iterations), 1)
+        print(f"iterations: {int(res.num_iterations)}")
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms  MTEPS: {t.mteps(edges):.1f}")
+        display_device_data(res.dists, name="dists")
+        if args.validate:
+            exp, _ = sssp_cpu(hg, args.src)
+            ok = validate_exact(np.asarray(res.dists)[: hg.n], exp)
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
+    elif args.algo == "pr":
+        from mini_tpu.algorithms import pagerank, pagerank_cpu
+
+        res = pagerank(gs, max_iter=args.max_iter)
+        t = time_fn(lambda: pagerank(gs, max_iter=args.max_iter))
+        print(f"iterations: {int(res.num_iterations)}")
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms")
+        top = np.argsort(-np.asarray(res.ranks))[:10]
+        print("top-10:", list(zip(top, np.asarray(res.ranks)[top])))
+        if args.validate:
+            exp = pagerank_cpu(hg, max_iter=args.max_iter)
+            ok = np.allclose(
+                np.asarray(res.ranks)[: hg.n], exp, rtol=1e-3, atol=1e-6
+            )
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
+    elif args.algo == "coloring":
+        from mini_tpu.algorithms import coloring, validate_coloring
+
+        res = coloring(gs, prime=args.prime, seed=args.seed)
+        t = time_fn(lambda: coloring(gs, prime=args.prime, seed=args.seed))
+        colors = np.asarray(res.colors)
+        print(
+            f"iterations: {int(res.num_iterations)} "
+            f"colors used: {len(np.unique(colors[: hg.n]))}"
+        )
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms")
+        if args.validate:
+            ok = validate_coloring(colors, hg)
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
+    elif args.algo == "kcore":
+        from mini_tpu.algorithms import kcore, kcore_cpu
+
+        res = kcore(gs)
+        t = time_fn(lambda: kcore(gs))
+        print(f"largest k-core: {int(res.largest_k_core)}")
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms")
+        if args.validate:
+            exp_cores, exp_largest = kcore_cpu(hg)
+            ok = (
+                validate_exact(
+                    np.asarray(res.num_cores)[: hg.n], exp_cores
+                )
+                and int(res.largest_k_core) == exp_largest
+            )
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
+    elif args.algo == "lspar":
+        from mini_tpu.algorithms import lspar
+
+        res = lspar(gs, prime=args.prime, e=args.e, seed=args.seed)
+        t = time_fn(lambda: lspar(gs, prime=args.prime, e=args.e,
+                                  seed=args.seed))
+        print(f"selected edges: {int(res.num_selected)} / {hg.m}")
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms")
+    elif args.algo == "gcn":
+        import jax
+        import jax.numpy as jnp
+        from mini_tpu.models.gcn import (
+            gcn_normalize,
+            gcn_init,
+            gcn_forward,
+        )
+
+        norm = gcn_normalize(gs)
+        params = gcn_init(jax.random.PRNGKey(args.seed), [128, 128, 32])
+        rng = np.random.RandomState(args.seed)
+        x = jnp.asarray(rng.rand(gs.n_pad, 128).astype(np.float32))
+        fwd = jax.jit(lambda p, xx: gcn_forward(p, gs, norm, xx))
+        t = time_fn(lambda: fwd(params, x))
+        eps = 2 * hg.m / t.min_s  # 2 layers
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms  agg edges/s: {eps:.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

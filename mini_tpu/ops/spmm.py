@@ -64,7 +64,7 @@ def spmm(
         from mini_tpu.ops.pallas.spmm_kernel import spmm_pallas
 
         offsets = g.col_offsets if direction == "pull" else g.row_offsets
-        return spmm_pallas(offsets, gather_ids, w, x)
+        return spmm_pallas(offsets, gather_ids, w, x, seg_ids=seg)
 
     msgs = x[gather_ids] * w[:, None].astype(x.dtype)
     return segment_reduce(msgs, seg, g.n_pad, op, mask=mask[:, None])

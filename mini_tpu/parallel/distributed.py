@@ -1,0 +1,178 @@
+"""Multi-chip execution: `shard_map` over a `jax.sharding.Mesh`.
+
+The communication backend is XLA collectives over ICI/DCN — `all_gather` /
+`psum` / `all_to_all` inside `shard_map` — not an external comm library
+(SURVEY.md §5).  The pattern for every operator: per-dst state and edges are
+shard-local (see `partition.py`), so the only cross-chip traffic is
+
+* the frontier bitmap (BFS/SSSP: n bits, all-gathered per iteration), or
+* the feature slab (SpMM/GCN: rows of H needed for remote sources).
+
+v1 exchanges the full slab with `all_gather`; the boundary-only all-to-all
+overlap is the planned optimization (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mini_tpu.parallel.partition import PartitionedGraph
+from mini_tpu.ops.segment import segment_reduce
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "graph") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceShards:
+    """Device-side shard arrays; leading axis sharded over the mesh."""
+
+    col_offsets: jnp.ndarray
+    csc_srcs: jnp.ndarray
+    csc_dsts_local: jnp.ndarray
+    csc_weights: jnp.ndarray
+    edge_mask: jnp.ndarray
+    in_degrees: jnp.ndarray
+    out_degrees: jnp.ndarray
+
+
+def shard_to_mesh(
+    pg: PartitionedGraph, mesh: Mesh, axis: str = "graph"
+) -> DeviceShards:
+    spec = NamedSharding(mesh, P(axis))
+
+    def put(a):
+        return jax.device_put(jnp.asarray(a), spec)
+
+    return DeviceShards(
+        col_offsets=put(pg.col_offsets),
+        csc_srcs=put(pg.csc_srcs),
+        csc_dsts_local=put(pg.csc_dsts_local),
+        csc_weights=put(pg.csc_weights),
+        edge_mask=put(pg.edge_mask),
+        in_degrees=put(pg.in_degrees),
+        out_degrees=put(pg.out_degrees),
+    )
+
+
+def dist_bfs(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    src: int,
+    mesh: Mesh,
+    axis: str = "graph",
+    max_iter: int | None = None,
+):
+    """Distributed BFS: labels sharded by dst range; per iteration each shard
+    reduces its local in-edges and the new frontier is all-gathered (the
+    frontier is the only wire traffic)."""
+    n_pad, n_loc = pg.n_pad, pg.n_loc
+    if max_iter is None:
+        max_iter = n_pad
+
+    def local_step(g: DeviceShards, labels_loc, frontier, it):
+        # g.* have the leading shard axis stripped by shard_map
+        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        unvisited_loc = labels_loc[0] == -1
+        active = frontier[esrc] & unvisited_loc[edst] & emask
+        new_vis = segment_reduce(active, edst, n_loc, "or")
+        new_pred = segment_reduce(
+            esrc, edst, n_loc, "min", mask=active
+        ).astype(jnp.int32)
+        labels = jnp.where(new_vis, it + 1, labels_loc[0])
+        frontier_next = jax.lax.all_gather(
+            new_vis, axis, tiled=True
+        )  # [n_pad] replicated
+        return labels[None], new_pred[None], frontier_next
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(axis), shards),
+            P(axis),
+            P(axis),
+            P(None),
+        ),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(g, labels_loc, preds_loc, frontier0):
+        # the replicated frontier input is unvarying; the loop carries a
+        # device-computed (varying) frontier — align the vma types up front
+        frontier0 = jax.lax.pcast(frontier0, axis, to="varying")
+
+        def body(state):
+            labels, preds, frontier, it = state
+            new_labels, new_preds, frontier_next = local_step(
+                g, labels, frontier, it
+            )
+            preds = jnp.where(new_labels != labels, new_preds, preds)
+            return new_labels, preds, frontier_next, it + 1
+
+        def cond(state):
+            _, _, frontier, it = state
+            return jnp.any(frontier) & (it < max_iter)
+
+        labels, preds, _, it = jax.lax.while_loop(
+            cond, body, (labels_loc, preds_loc, frontier0, jnp.int32(0))
+        )
+        return labels, preds
+
+    labels0 = jnp.full((pg.num_shards, n_loc), -1, jnp.int32)
+    labels0 = labels0.at[src // n_loc, src % n_loc].set(0)
+    preds0 = jnp.full((pg.num_shards, n_loc), -1, jnp.int32)
+    frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
+    spec = NamedSharding(mesh, P(axis))
+    labels0 = jax.device_put(labels0, spec)
+    preds0 = jax.device_put(preds0, spec)
+    frontier0 = jax.device_put(frontier0, NamedSharding(mesh, P()))
+    labels, preds = jax.jit(run)(shards, labels0, preds0, frontier0)
+    return labels.reshape(-1), preds.reshape(-1)
+
+
+def dist_spmm(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    x: jnp.ndarray,  # [D, n_loc, F] sharded on axis 0
+    mesh: Mesh,
+    axis: str = "graph",
+    weights: jnp.ndarray | None = None,  # [D, m_loc] sharded, CSC order
+) -> jnp.ndarray:
+    """Distributed pull-SpMM: all-gather the feature slab, local gather +
+    segment-sum into the owned dst rows.  Returns [D, n_loc, F] sharded."""
+    n_loc = pg.n_loc
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(axis), shards),
+            P(axis),
+            P(axis) if weights is not None else P(),
+        ),
+        out_specs=P(axis),
+    )
+    def run(g, x_loc, w):
+        x_full = jax.lax.all_gather(x_loc[0], axis, tiled=True)  # [n_pad, F]
+        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
+        ew = (g.csc_weights[0] if weights is None else w[0])
+        msgs = x_full[esrc] * ew[:, None]
+        out = segment_reduce(
+            msgs, edst, n_loc, "sum", mask=g.edge_mask[0][:, None]
+        )
+        return out[None]
+
+    w_arg = weights if weights is not None else jnp.zeros((1,))
+    return jax.jit(run)(shards, x, w_arg)

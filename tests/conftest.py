@@ -8,12 +8,13 @@ MINI_TPU_TEST_BACKEND=tpu to run the suite on a real chip.
 import os
 
 if os.environ.get("MINI_TPU_TEST_BACKEND", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    # The axon sitecustomize imports jax at interpreter startup with
+    # JAX_PLATFORMS=axon, so env vars are too late here — use jax.config
+    # (effective until backends are initialized).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,224 @@
+"""End-to-end algorithm tests against CPU oracles (the reference's
+oracle-in-problem pattern, SURVEY.md §4 — extended to the three primitives
+the reference leaves unvalidated: PR, coloring, L-Spar)."""
+
+import numpy as np
+import pytest
+
+from mini_tpu.graph import GraphSlice, erdos_renyi, rmat
+from mini_tpu.algorithms import (
+    bfs,
+    bfs_cpu,
+    validate_preds,
+    sssp,
+    sssp_cpu,
+    validate_pred_tree,
+    pagerank,
+    pagerank_cpu,
+    coloring,
+    validate_coloring,
+    kcore,
+    kcore_cpu,
+    lspar,
+    lspar_cpu,
+    is_prime,
+)
+
+
+# ----------------------------------------------------------------------- BFS
+def test_bfs_tiny(tiny_graph, tiny_slice):
+    res = bfs(tiny_slice, src=0)
+    expected = bfs_cpu(tiny_graph, 0)
+    got = np.asarray(res.labels)[: tiny_graph.n]
+    np.testing.assert_array_equal(got, expected)  # bitwise
+    assert validate_preds(got, np.asarray(res.preds), tiny_graph, 0)
+
+
+@pytest.mark.parametrize("src", [0, 17, 123])
+def test_bfs_random(random_graph, random_slice, src):
+    res = bfs(random_slice, src=src)
+    expected = bfs_cpu(random_graph, src)
+    got = np.asarray(res.labels)[: random_graph.n]
+    np.testing.assert_array_equal(got, expected)
+    assert validate_preds(got, np.asarray(res.preds), random_graph, src)
+    # ghost vertices stay unvisited
+    assert np.all(np.asarray(res.labels)[random_graph.n:] == -1)
+
+
+def test_bfs_directed(random_directed_graph, random_directed_slice):
+    res = bfs(random_directed_slice, src=3)
+    expected = bfs_cpu(random_directed_graph, 3)
+    np.testing.assert_array_equal(
+        np.asarray(res.labels)[: random_directed_graph.n], expected
+    )
+
+
+def test_bfs_disconnected():
+    hg = erdos_renyi(64, 100, seed=9, undirected=True)
+    # add isolated vertices by declaring extra nodes
+    from mini_tpu.graph import from_edges
+
+    hg2 = from_edges(
+        hg.csr_srcs, hg.csr_dsts, hg.csr_weights, num_nodes=80
+    )
+    gs = GraphSlice.from_host(hg2)
+    res = bfs(gs, src=0)
+    expected = bfs_cpu(hg2, 0)
+    np.testing.assert_array_equal(np.asarray(res.labels)[:80], expected)
+    assert (expected == -1).any()  # isolated vertices really are unreachable
+
+
+def test_bfs_alpha_triggers_pull_accounting(random_slice):
+    res_pushy = bfs(random_slice, src=0, alpha=0.0)
+    res_pully = bfs(random_slice, src=0, alpha=1e9)
+    # direction choice must not change results
+    np.testing.assert_array_equal(
+        np.asarray(res_pushy.labels), np.asarray(res_pully.labels)
+    )
+    assert int(res_pushy.num_pull_iterations) == 0
+    assert int(res_pully.num_pull_iterations) == int(
+        res_pully.num_iterations
+    )
+
+
+# ---------------------------------------------------------------------- SSSP
+@pytest.mark.parametrize("src", [0, 42])
+def test_sssp_random_bitwise(random_graph, random_slice, src):
+    res = sssp(random_slice, src=src)
+    exp_dist, _ = sssp_cpu(random_graph, src)
+    got = np.asarray(res.dists)[: random_graph.n]
+    # bitwise: both paths compute f32 min over identical f32 sums
+    np.testing.assert_array_equal(got, exp_dist)
+    assert validate_pred_tree(got, np.asarray(res.preds), random_graph, src)
+
+
+def test_sssp_directed(random_directed_graph, random_directed_slice):
+    res = sssp(random_directed_slice, src=1)
+    exp_dist, _ = sssp_cpu(random_directed_graph, 1)
+    np.testing.assert_array_equal(
+        np.asarray(res.dists)[: random_directed_graph.n], exp_dist
+    )
+
+
+def test_sssp_unreachable():
+    from mini_tpu.graph import from_edges
+
+    hg = from_edges([0, 1], [1, 0], num_nodes=4)
+    gs = GraphSlice.from_host(hg)
+    res = sssp(gs, src=0)
+    d = np.asarray(res.dists)
+    assert d[1] == 1.0 and np.isinf(d[2]) and np.isinf(d[3])
+
+
+# ------------------------------------------------------------------ PageRank
+@pytest.mark.parametrize("variant", ["standard", "mini"])
+def test_pagerank_matches_oracle(random_graph, random_slice, variant):
+    res = pagerank(random_slice, variant=variant, max_iter=30)
+    expected = pagerank_cpu(random_graph, variant=variant, max_iter=30)
+    got = np.asarray(res.ranks)[: random_graph.n]
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_pagerank_standard_sums_to_one(random_slice, random_graph):
+    res = pagerank(random_slice, variant="standard", tol_rel=1e-7,
+                   max_iter=200)
+    total = float(np.asarray(res.ranks).sum())
+    assert abs(total - 1.0) < 1e-3
+
+
+# ------------------------------------------------------------------ Coloring
+def test_coloring_proper(random_graph, random_slice):
+    res = coloring(random_slice, seed=1)
+    colors = np.asarray(res.colors)
+    assert validate_coloring(colors, random_graph)
+    assert np.all(colors[random_graph.n:] == 0)  # ghosts untouched
+
+
+def test_coloring_tiny(tiny_graph, tiny_slice):
+    res = coloring(tiny_slice, seed=0)
+    assert validate_coloring(np.asarray(res.colors), tiny_graph)
+
+
+# -------------------------------------------------------------------- k-core
+def test_kcore_tiny(tiny_graph, tiny_slice):
+    res = kcore(tiny_slice)
+    exp_cores, exp_largest = kcore_cpu(tiny_graph)
+    np.testing.assert_array_equal(
+        np.asarray(res.num_cores)[: tiny_graph.n], exp_cores
+    )
+    assert int(res.largest_k_core) == exp_largest
+
+
+def test_kcore_random(random_graph, random_slice):
+    res = kcore(random_slice)
+    exp_cores, exp_largest = kcore_cpu(random_graph)
+    np.testing.assert_array_equal(
+        np.asarray(res.num_cores)[: random_graph.n], exp_cores
+    )
+    assert int(res.largest_k_core) == exp_largest
+
+
+def test_kcore_reference_fixture():
+    """The reference's kcore fixture graph
+    (/root/reference/gunrock/tests/kcore/test_kcore.mtx: 9 nodes, 34 edges,
+    loaded undirected -> doubled)."""
+    from mini_tpu.graph import from_edges
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5),
+        (4, 6), (5, 6), (2, 5), (1, 6), (0, 7), (7, 8), (5, 8), (0, 8),
+        (8, 2),
+    ]
+    srcs, dsts = zip(*edges)
+    hg = from_edges(
+        np.array(srcs), np.array(dsts), num_nodes=9, make_undirected=True
+    )
+    gs = GraphSlice.from_host(hg)
+    res = kcore(gs)
+    exp_cores, exp_largest = kcore_cpu(hg)
+    np.testing.assert_array_equal(
+        np.asarray(res.num_cores)[: hg.n], exp_cores
+    )
+    assert int(res.largest_k_core) == exp_largest
+
+
+# --------------------------------------------------------------------- L-Spar
+def test_is_prime():
+    assert is_prime(2) and is_prime(3) and is_prime(999983)
+    assert not is_prime(1) and not is_prime(999981) and not is_prime(4)
+
+
+def test_lspar_matches_oracle(random_graph, random_slice):
+    prime, e, seed = 999983, 0.5, 0
+    res = lspar(random_slice, prime=prime, e=e, seed=seed)
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, prime)
+    b = rng.randint(0, prime)
+    hashs = ((b + a * np.arange(random_slice.n_pad, dtype=np.int64)) % prime
+             ).astype(np.int32)
+    exp_sel, exp_count = lspar_cpu(random_graph, hashs, e)
+    assert int(res.num_selected) == exp_count
+    # per-vertex selected counts must match (edge choice within equal-sim
+    # ties may differ between stable sorts, counts may not)
+    got_sel = np.asarray(res.selected_mask)[: random_graph.m]
+    got_counts = np.bincount(
+        random_graph.csr_srcs[got_sel], minlength=random_graph.n
+    )
+    exp_counts = np.bincount(
+        random_graph.csr_srcs[exp_sel], minlength=random_graph.n
+    )
+    np.testing.assert_array_equal(got_counts, exp_counts)
+    # every selected edge with sim=0 implies no unselected sim=1 edge exists
+    # in the same segment (top-by-sim property)
+    sims = np.asarray(res.sims)[: random_graph.m]
+    for v in range(random_graph.n):
+        lo, hi = random_graph.row_offsets[v], random_graph.row_offsets[v + 1]
+        seg_sel = got_sel[lo:hi]
+        seg_sim = sims[lo:hi]
+        if seg_sel.any() and (~seg_sel).any():
+            assert seg_sim[seg_sel].min() >= seg_sim[~seg_sel].max()
+
+
+def test_lspar_rejects_composite_prime(random_slice):
+    with pytest.raises(ValueError):
+        lspar(random_slice, prime=1000)

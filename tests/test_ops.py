@@ -45,8 +45,12 @@ def test_segment_reduce_masked_bool():
     vals = jnp.array([True, True, False, True])
     seg = jnp.array([0, 1, 1, 2])
     mask = jnp.array([True, False, True, True])
+    # seg0: True; seg1: only the unmasked False contributes; seg2: True;
+    # seg3: empty -> identity False
     r = segment_reduce(vals, seg, 4, "or", mask=mask)
-    np.testing.assert_array_equal(np.asarray(r), [True, False, False, True])
+    np.testing.assert_array_equal(np.asarray(r), [True, False, True, False])
+    ra = segment_reduce(vals, seg, 4, "and", mask=mask)
+    np.testing.assert_array_equal(np.asarray(ra), [True, False, True, True])
 
 
 def test_segment_argmin_by():
