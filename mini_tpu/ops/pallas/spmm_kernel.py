@@ -85,9 +85,14 @@ def _segsum_kernel(
             dst_dma(slot, c).wait()
             local = dst_buf[slot][0] - v0  # (EDGE_CHUNK,)
             onehot = (local[None, :] == row_ids).astype(jnp.float32)
-            return acc + jax.lax.dot(
+            # HIGHEST: the one-hot factor is exactly representable, but the
+            # messages must not be truncated to bf16 (default MXU precision)
+            # — segment sums feed bitwise-validated algorithms.
+            return acc + jax.lax.dot_general(
                 onehot,
                 msg_buf[slot],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
 

@@ -1,0 +1,35 @@
+"""CLI driver smoke tests (the reference's per-algorithm test binaries,
+`tests/*/test_*.cu`, as one entry point)."""
+
+import os
+
+import pytest
+
+from mini_tpu.cli import main
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "test_bfs.mtx")
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["bfs", "--file", FIXTURE, "--undirected", "--src", "0",
+         "--validate"],
+        ["sssp", "--file", FIXTURE, "--undirected", "--src", "0",
+         "--validate"],
+        ["pr", "--file", FIXTURE, "--undirected", "--validate"],
+        ["coloring", "--file", FIXTURE, "--undirected", "--validate"],
+        ["kcore", "--file", FIXTURE, "--undirected", "--validate"],
+        ["lspar", "--file", FIXTURE, "--undirected"],
+    ],
+)
+def test_cli_runs_and_validates(argv, capsys):
+    assert main(argv) == 0
+    out = capsys.readouterr().out
+    if "--validate" in argv:
+        assert "Correct." in out
+
+
+def test_cli_rmat(capsys):
+    assert main(["bfs", "--rmat-scale", "8", "--src", "0", "--validate"]) == 0
+    assert "Correct." in capsys.readouterr().out
