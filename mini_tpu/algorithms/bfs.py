@@ -30,7 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from mini_tpu.graph.csr import GraphSlice, HostGraph
-from mini_tpu.ops.segment import segment_reduce
+from mini_tpu.ops.engine import (
+    src_vals_to_csc,
+    dst_vals_to_csc,
+    reduce_csc_by_dst,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -48,42 +52,51 @@ def _bfs_impl(g: GraphSlice, src, alpha: float, max_iter: int):
     INT_MAX = jnp.iinfo(jnp.int32).max
 
     labels0 = jnp.full(n_pad, -1, jnp.int32).at[src].set(0)
-    preds0 = jnp.full(n_pad, -1, jnp.int32)
     frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
 
-    esrc, edst, emask = g.csc_srcs, g.csc_dsts, g.edge_mask_csc
-
     def step(state):
-        labels, preds, frontier, it, pulls = state
+        labels, frontier, it, pulls = state
         unvisited = labels == -1
-        # push mask: out-edges of frontier; pull adds the unvisited[dst]
-        # pre-mask (same fixpoint; recorded for direction accounting).
+        # direction accounting (dense engine computes the same fixpoint
+        # either way; the alpha switch is the sparse-path hook)
         frontier_len = jnp.sum(frontier, dtype=jnp.int32)
         num_unvisited = jnp.sum(unvisited & (jnp.arange(n_pad) < g.n))
         use_pull = num_unvisited.astype(jnp.float32) < (
             frontier_len.astype(jnp.float32) * alpha
         )
 
-        active = frontier[esrc] & unvisited[edst] & emask
-        new_vis = segment_reduce(active, edst, n_pad, "or")
-        new_pred = segment_reduce(esrc, edst, n_pad, "min", mask=active)
+        # gather-free sweep: expansion + one static-rank sort (ops/engine)
+        f_csc = src_vals_to_csc(g, frontier.astype(jnp.int32))
+        unv_csc = dst_vals_to_csc(g, unvisited.astype(jnp.int32))
+        active = (f_csc > 0) & (unv_csc > 0)
+        new_vis = reduce_csc_by_dst(g, active, "or")
         labels = jnp.where(new_vis, it + 1, labels)
-        preds = jnp.where(new_vis, new_pred.astype(jnp.int32), preds)
-        return (
-            labels,
-            preds,
-            new_vis,
-            it + 1,
-            pulls + use_pull.astype(jnp.int32),
-        )
+        return labels, new_vis, it + 1, pulls + use_pull.astype(jnp.int32)
 
     def cond(state):
-        _, _, frontier, it, _ = state
+        _, frontier, it, _ = state
         return jnp.any(frontier) & (it < max_iter)
 
-    labels, preds, _, it, pulls = jax.lax.while_loop(
-        cond, step, (labels0, preds0, frontier0, jnp.int32(0), jnp.int32(0))
+    labels, _, it, pulls = jax.lax.while_loop(
+        cond, step, (labels0, frontier0, jnp.int32(0), jnp.int32(0))
     )
+
+    # predecessors reconstructed in one post-pass (equivalent to recording
+    # the min-id parent at discovery time): pred[v] = min{u : (u,v) in E,
+    # labels[u] == labels[v]-1}
+    lab_src_csc = src_vals_to_csc(g, labels)
+    lab_dst_csc = dst_vals_to_csc(g, labels)
+    cand = (
+        (lab_src_csc == lab_dst_csc - 1)
+        & (lab_dst_csc > 0)
+        & g.edge_mask_csc
+    )
+    pred_min = reduce_csc_by_dst(
+        g, jnp.where(cand, g.csc_srcs, INT_MAX), "min"
+    )
+    preds = jnp.where(
+        (labels > 0) & (pred_min != INT_MAX), pred_min, -1
+    ).astype(jnp.int32)
     return BfsResult(labels, preds, it, pulls)
 
 

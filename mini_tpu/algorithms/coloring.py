@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mini_tpu.graph.csr import GraphSlice, HostGraph
-from mini_tpu.ops.segment import segment_reduce
+from mini_tpu.ops.engine import dst_vals_to_csr, reduce_csr_by_src
 
 
 @jax.tree_util.register_dataclass
@@ -41,7 +41,6 @@ def _coloring_impl(g: GraphSlice, key, prime: int, max_iter: int):
     real = jnp.arange(n_pad) < g.n
     INT_MIN = jnp.iinfo(jnp.int32).min
     INT_MAX = jnp.iinfo(jnp.int32).max
-    esrc, edst, emask = g.csr_srcs, g.csr_dsts, g.edge_mask
 
     colors0 = jnp.zeros(n_pad, jnp.int32)
 
@@ -51,11 +50,14 @@ def _coloring_impl(g: GraphSlice, key, prime: int, max_iter: int):
             jax.random.fold_in(key, it), (n_pad,), 0, prime, jnp.int32
         )
         uncolored = (colors == 0) & real
-        # neighbor extrema over out-edges, counting only uncolored neighbors
-        nb_vals = hashs[edst]
-        nb_unc = uncolored[edst] & emask
-        nb_max = segment_reduce(nb_vals, esrc, n_pad, "max", mask=nb_unc)
-        nb_min = segment_reduce(nb_vals, esrc, n_pad, "min", mask=nb_unc)
+        # neighbor extrema over out-edges, counting only uncolored
+        # neighbors: colored/ghost neighbors carry the reduction identity,
+        # moved dst->CSR-edge gather-free (one expansion + one sort)
+        hmax_v = jnp.where(uncolored, hashs, INT_MIN)
+        hmin_v = jnp.where(uncolored, hashs, INT_MAX)
+        hmax_e, hmin_e = dst_vals_to_csr(g, hmax_v, hmin_v)
+        nb_max = reduce_csr_by_src(g, hmax_e, "max")
+        nb_min = reduce_csr_by_src(g, hmin_e, "min")
         is_min = uncolored & (hashs < nb_min)
         is_max = uncolored & (hashs > nb_max) & ~is_min
         colors = jnp.where(is_min, 2 * it + 1, colors)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mini_tpu.graph.csr import GraphSlice, HostGraph
-from mini_tpu.ops.segment import segment_reduce
+from mini_tpu.ops.engine import src_vals_to_csc, reduce_csc_by_dst
 
 
 @jax.tree_util.register_dataclass
@@ -38,7 +38,6 @@ class KCoreResult:
 @functools.partial(jax.jit, static_argnums=(1,))
 def _kcore_impl(g: GraphSlice, max_k: int):
     n_pad = g.n_pad
-    esrc, edst, emask = g.csc_srcs, g.csc_dsts, g.edge_mask_csc
 
     deg0 = g.out_degrees.astype(jnp.int32)
     cores0 = jnp.zeros(n_pad, jnp.int32)
@@ -47,9 +46,9 @@ def _kcore_impl(g: GraphSlice, max_k: int):
         deg, cores, k, iters = state
         peel = (deg < k) & (deg > 0)
         cores = jnp.where(peel, k - 1, cores)
-        dec = segment_reduce(
-            peel[esrc].astype(jnp.int32), edst, n_pad, "sum", mask=emask
-        )
+        # per-dst count of in-edges from peeled sources (gather-free sweep)
+        peel_csc = src_vals_to_csc(g, peel.astype(jnp.int32))
+        dec = reduce_csc_by_dst(g, peel_csc, "sum")
         deg = jnp.where(peel, 0, deg - dec)
         return deg, cores, k, iters + 1
 

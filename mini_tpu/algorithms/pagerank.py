@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mini_tpu.graph.csr import GraphSlice, HostGraph
-from mini_tpu.ops.spmm import spmm
+from mini_tpu.ops.engine import src_vals_to_csc, reduce_csc_by_dst
 
 
 @jax.tree_util.register_dataclass
@@ -53,8 +53,8 @@ def _pagerank_impl(
     real = jnp.arange(n_pad) < g.n
     out_deg = g.out_degrees.astype(jnp.float32)
     # PR sums raw neighbor ranks — adjacency structure only, never edge
-    # weights (reference `pr/pr_functor.hxx:27-29` reduces d_current_ranks).
-    unit_w = jnp.where(g.edge_mask_csc, 1.0, 0.0).astype(jnp.float32)
+    # weights (reference `pr/pr_functor.hxx:27-29` reduces d_current_ranks);
+    # the gather-free sweep expands ranks by src and reduces by dst.
 
     if variant == "mini":
         ranks0 = jnp.where(real, 0.15, 0.0).astype(jnp.float32)
@@ -65,14 +65,18 @@ def _pagerank_impl(
     def step(state):
         ranks, active, it = state
         if variant == "mini":
-            reduced = spmm(g, ranks, direction="pull", weights=unit_w, impl="xla")
+            reduced = reduce_csc_by_dst(
+                g, src_vals_to_csc(g, jnp.where(real, ranks, 0.0)), "sum"
+            )
             new = jnp.where(
                 out_deg > 0, 0.15 + damping * reduced / out_deg, 0.15
             )
             new = jnp.where(jnp.isfinite(new), new, 0.0)
         else:
             contrib = jnp.where(out_deg > 0, ranks / out_deg, 0.0)
-            reduced = spmm(g, contrib, direction="pull", weights=unit_w, impl="xla")
+            reduced = reduce_csc_by_dst(
+                g, src_vals_to_csc(g, contrib), "sum"
+            )
             # dangling mass redistributed uniformly
             dangling = jnp.sum(jnp.where(real & (out_deg == 0), ranks, 0.0))
             new = (1.0 - damping) / g.n + damping * (

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from mini_tpu.graph.csr import GraphSlice, HostGraph
-from mini_tpu.ops.segment import segment_reduce
+from mini_tpu.ops.engine import (
+    src_vals_to_csc,
+    dst_vals_to_csc,
+    reduce_csc_by_dst,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -41,38 +45,47 @@ class SsspResult:
 def _sssp_impl(g: GraphSlice, src, max_iter: int):
     n_pad = g.n_pad
     inf = jnp.float32(jnp.inf)
+    INT_MAX = jnp.iinfo(jnp.int32).max
 
     dist0 = jnp.full(n_pad, inf, jnp.float32).at[src].set(0.0)
-    preds0 = jnp.full(n_pad, -1, jnp.int32)
     frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
 
-    esrc, edst, ew, emask = (
-        g.csc_srcs,
-        g.csc_dsts,
-        g.csc_weights,
-        g.edge_mask_csc,
-    )
-
     def step(state):
-        dist, preds, frontier, it = state
-        active = frontier[esrc] & emask
-        cand = jnp.where(active, dist[esrc] + ew, inf)
-        best = segment_reduce(cand, edst, n_pad, "min")
+        dist, frontier, it = state
+        # masked distances expand bit-exactly (ops/permute expansion);
+        # non-frontier and ghost sources carry +inf and never win the min
+        dist_masked = jnp.where(frontier, dist, inf)
+        d_src = src_vals_to_csc(g, dist_masked)
+        cand = d_src + g.csc_weights  # inf + w == inf
+        best = reduce_csc_by_dst(g, cand, "min")
         improved = best < dist
-        # deterministic pred: min src among edges achieving the new best
-        at_best = active & (cand == best[edst]) & improved[edst]
-        best_pred = segment_reduce(esrc, edst, n_pad, "min", mask=at_best)
         dist = jnp.minimum(dist, best)
-        preds = jnp.where(improved, best_pred.astype(jnp.int32), preds)
-        return dist, preds, improved, it + 1
+        return dist, improved, it + 1
 
     def cond(state):
-        _, _, frontier, it = state
+        _, frontier, it = state
         return jnp.any(frontier) & (it < max_iter)
 
-    dist, preds, _, it = jax.lax.while_loop(
-        cond, step, (dist0, preds0, frontier0, jnp.int32(0))
+    dist, _, it = jax.lax.while_loop(
+        cond, step, (dist0, frontier0, jnp.int32(0))
     )
+
+    # predecessors in one post-pass: pred[v] = min{u : dist[u]+w == dist[v]}
+    # (f32 sums recomputed identically to the relax step -> bitwise match)
+    d_src = src_vals_to_csc(g, dist)
+    d_dst = dst_vals_to_csc(g, dist)
+    ok = (
+        (d_src + g.csc_weights == d_dst)
+        & jnp.isfinite(d_dst)
+        & g.edge_mask_csc
+    )
+    pred_min = reduce_csc_by_dst(
+        g, jnp.where(ok, g.csc_srcs, INT_MAX), "min"
+    )
+    preds = jnp.where(
+        jnp.isfinite(dist) & (pred_min != INT_MAX), pred_min, -1
+    ).astype(jnp.int32)
+    preds = preds.at[src].set(-1)
     return SsspResult(dist, preds, it)
 
 

@@ -163,6 +163,7 @@ class GraphSlice:
         "csc_dsts",
         "csc_weights",
         "csc_eids",
+        "csr_to_csc_rank",
         "out_degrees",
         "in_degrees",
         "edge_mask",
@@ -203,7 +204,15 @@ class GraphSlice:
             out[n_pad] = m_pad
             return out
 
+        # position of CSR edge e in CSC order (inverse of csc_eids); pad
+        # edges map to themselves.  Static sort key for the CSR->CSC order
+        # switch (ops/permute.py).
+        csc_eids_pad = pad_edges(hg.csc_eids, 0)
+        csr_to_csc = np.arange(m_pad, dtype=np.int32)
+        csr_to_csc[csc_eids_pad[:m]] = np.arange(m, dtype=np.int32)
+
         arrays = dict(
+            csr_to_csc_rank=csr_to_csc,
             row_offsets=pad_offsets(hg.row_offsets),
             csr_dsts=pad_edges(hg.csr_dsts, ghost),
             csr_srcs=pad_edges(hg.csr_srcs, ghost),

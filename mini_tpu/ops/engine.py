@@ -1,0 +1,108 @@
+"""The sorted frontier engine: high-level data-movement helpers used by all
+algorithm kernels.
+
+Everything is built from three vector-speed primitives (ops/permute.py):
+expansion along the sorted axis, one static-keyed sort for the CSR<->CSC
+order switch, and cumsum/scan segmented reductions.  No per-edge XLA
+gather/scatter appears anywhere on the hot path (measured ~7-8 ns/element on
+TPU — see ops/permute.py docstring).
+
+Edge-order conventions: "csc" = edges sorted by (dst, src) — per-dst
+segments contiguous; "csr" = sorted by (src, dst).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mini_tpu.graph.csr import GraphSlice
+from mini_tpu.ops.permute import (
+    expand_to_edges,
+    apply_fixed_perm,
+    segmented_scan_reduce,
+)
+from mini_tpu.ops.segment import contiguous_segment_sum
+
+
+def src_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
+    """per-edge value[src(e)] in CSC order: expand along CSR (sorted by
+    src), then switch order with the static-rank sort.  Extra arrays ride
+    the same sort as additional payloads."""
+    expanded = [
+        expand_to_edges(v, g.row_offsets, g.m_pad)
+        for v in (vertex_vals,) + more
+    ]
+    return apply_fixed_perm(g.csr_to_csc_rank, *expanded)
+
+
+def dst_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray) -> jnp.ndarray:
+    """per-edge value[dst(e)] in CSC order: pure expansion (dst sorted)."""
+    return expand_to_edges(vertex_vals, g.col_offsets, g.m_pad)
+
+
+def src_vals_to_csr(g: GraphSlice, vertex_vals: jnp.ndarray) -> jnp.ndarray:
+    """per-edge value[src(e)] in CSR order: pure expansion (src sorted)."""
+    return expand_to_edges(vertex_vals, g.row_offsets, g.m_pad)
+
+
+def dst_vals_to_csr(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
+    """per-edge value[dst(e)] in CSR order: expand along CSC, then switch
+    with the inverse rank (csc_eids = CSR position of each CSC edge)."""
+    expanded = [
+        expand_to_edges(v, g.col_offsets, g.m_pad)
+        for v in (vertex_vals,) + more
+    ]
+    return apply_fixed_perm(g.csc_eids, *expanded)
+
+
+def reduce_csc_by_dst(
+    g: GraphSlice,
+    edge_vals: jnp.ndarray,
+    op: str,
+    identity=None,
+) -> jnp.ndarray:
+    """Segmented reduce of CSC-ordered per-edge values into [n_pad] dst
+    slots: or/and/int-sum via cumsum-difference, min/max/float-sum via one
+    associative scan."""
+    if op == "or":
+        s = contiguous_segment_sum(
+            edge_vals.astype(jnp.int32), g.col_offsets
+        )
+        return s > 0
+    if op == "sum" and jnp.issubdtype(edge_vals.dtype, jnp.integer):
+        return contiguous_segment_sum(edge_vals, g.col_offsets)
+    from mini_tpu.ops.segment import identity_for
+
+    ident = (
+        identity_for(op if op != "sum" else "sum", edge_vals.dtype)
+        if identity is None
+        else jnp.asarray(identity, edge_vals.dtype)
+    )
+    return segmented_scan_reduce(
+        edge_vals, g.csc_dsts, g.col_offsets, op, ident
+    )
+
+
+def reduce_csr_by_src(
+    g: GraphSlice,
+    edge_vals: jnp.ndarray,
+    op: str,
+    identity=None,
+) -> jnp.ndarray:
+    if op == "or":
+        s = contiguous_segment_sum(
+            edge_vals.astype(jnp.int32), g.row_offsets
+        )
+        return s > 0
+    if op == "sum" and jnp.issubdtype(edge_vals.dtype, jnp.integer):
+        return contiguous_segment_sum(edge_vals, g.row_offsets)
+    from mini_tpu.ops.segment import identity_for
+
+    ident = (
+        identity_for(op if op != "sum" else "sum", edge_vals.dtype)
+        if identity is None
+        else jnp.asarray(identity, edge_vals.dtype)
+    )
+    return segmented_scan_reduce(
+        edge_vals, g.csr_srcs, g.row_offsets, op, ident
+    )

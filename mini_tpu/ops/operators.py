@@ -108,14 +108,18 @@ def advance(
         active = frontier.mask[ev.src] & ev.mask
         if cond is not None:
             active = active & cond(ev)
-        nxt = segment_reduce(active, ev.dst, g.n_pad, "or")
+        nxt = segment_reduce(
+            active, ev.dst, g.n_pad, "or", offsets=g.col_offsets
+        )
         return Frontier(nxt), ev, active
     elif direction == "pull":
         ev = edges_by_dst(g)
         active = frontier.mask[ev.dst] & ev.mask
         if cond is not None:
             active = active & cond(ev)
-        nxt = segment_reduce(active, ev.dst, g.n_pad, "or")
+        nxt = segment_reduce(
+            active, ev.dst, g.n_pad, "or", offsets=g.col_offsets
+        )
         return Frontier(nxt), ev, active
     raise ValueError(f"unknown direction {direction!r}")
 

@@ -36,6 +36,29 @@ def identity_for(op: str, dtype) -> jnp.ndarray:
     raise ValueError(f"unknown op {op!r}")
 
 
+def contiguous_segment_sum(
+    vals: jnp.ndarray,
+    offsets: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Segment sum for CONTIGUOUS segments given boundary offsets:
+    ``out[v] = sum(vals[offsets[v]:offsets[v+1]])``.
+
+    One cumsum + two gathers — no scatter at all (the reference needs
+    moderngpu's two-phase compact/segreduce for this; CSC/CSR ordering makes
+    it a prefix-sum difference on TPU).  Exact for integer/bool inputs; for
+    floats the cumsum accumulates over the whole array, so only use where
+    that precision is acceptable.
+    """
+    if mask is not None:
+        vals = jnp.where(mask, vals, jnp.zeros((), vals.dtype))
+    c = jnp.concatenate(
+        [jnp.zeros((1,) + vals.shape[1:], vals.dtype), jnp.cumsum(vals, 0)]
+    )
+    off = offsets.astype(jnp.int32)
+    return c[off[1:]] - c[off[:-1]]
+
+
 def segment_reduce(
     vals: jnp.ndarray,
     seg_ids: jnp.ndarray,
@@ -43,13 +66,28 @@ def segment_reduce(
     op: str = "sum",
     mask: jnp.ndarray | None = None,
     indices_are_sorted: bool = True,
+    offsets: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Reduce ``vals`` into ``num_segments`` buckets keyed by ``seg_ids``.
 
     ``mask`` elements set to False contribute the identity.  Boolean ``or`` /
     ``and`` are computed in int space then cast back (XLA scatter combiners
-    are arithmetic).
+    are arithmetic).  When ``offsets`` (contiguous segment boundaries,
+    int[num_segments+1]) are provided, integer/bool sums and or/and reduce
+    via the scatter-free cumsum-difference path.
     """
+    if offsets is not None and vals.dtype != jnp.float32:
+        if op == "sum" and jnp.issubdtype(vals.dtype, jnp.integer):
+            return contiguous_segment_sum(vals, offsets, mask=mask)
+        if op == "or":
+            s = contiguous_segment_sum(
+                vals.astype(jnp.int32), offsets, mask=mask
+            )
+            return s > 0
+        if op == "and":
+            inv = ~vals if mask is None else (~vals & mask)
+            s = contiguous_segment_sum(inv.astype(jnp.int32), offsets)
+            return s == 0
     if op in ("or", "and"):
         # int space: or -> max, and -> min; empty segments yield the integer
         # identity (INT_MIN / INT_MAX), so compare > 0 rather than casting

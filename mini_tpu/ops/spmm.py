@@ -61,13 +61,23 @@ def spmm(
         raise ValueError(f"unknown direction {direction!r}")
 
     if impl == "pallas":
-        from mini_tpu.ops.pallas.spmm_kernel import spmm_pallas
+        if op == "sum" and _pallas_shapes_ok(g, x):
+            from mini_tpu.ops.pallas.spmm_kernel import spmm_pallas
 
-        offsets = g.col_offsets if direction == "pull" else g.row_offsets
-        return spmm_pallas(offsets, gather_ids, w, x, seg_ids=seg)
+            offsets = g.col_offsets if direction == "pull" else g.row_offsets
+            return spmm_pallas(offsets, gather_ids, w, x, seg_ids=seg)
+        impl = "xla"  # graceful fallback (F not lane-aligned, etc.)
 
     msgs = x[gather_ids] * w[:, None].astype(x.dtype)
     return segment_reduce(msgs, seg, g.n_pad, op, mask=mask[:, None])
+
+
+def _pallas_shapes_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
+    return (
+        x.shape[-1] % 128 == 0
+        and g.n_pad % 128 == 0
+        and g.m_pad % 128 == 0
+    )
 
 
 def _pallas_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
@@ -75,7 +85,7 @@ def _pallas_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
 
     if jax.default_backend() not in ("tpu",):
         return False
-    return x.shape[-1] % 128 == 0 and g.n_pad % 128 == 0 and g.m_pad % 512 == 0
+    return _pallas_shapes_ok(g, x)
 
 
 def sddmm(

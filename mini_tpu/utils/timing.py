@@ -11,6 +11,12 @@ from typing import Callable
 import numpy as np
 
 
+def _tree_leaves(x):
+    import jax
+
+    return jax.tree_util.tree_leaves(x)
+
+
 @dataclasses.dataclass
 class Timing:
     mean_s: float
@@ -35,8 +41,17 @@ def time_fn(
         import jax
 
         block = jax.block_until_ready
-    for _ in range(warmup):
-        block(fn())
+    for i in range(warmup):
+        out = block(fn())
+        if i == 0:
+            # under remote-tunnel backends (axon) compilation is async and
+            # block_until_ready can return before it finishes; a real fetch
+            # of one element forces full completion before timing starts
+            leaves = [
+                l for l in _tree_leaves(out) if hasattr(l, "__array__")
+            ]
+            if leaves:
+                np.asarray(leaves[0].ravel()[:1])
     samples = []
     for _ in range(repeat):
         t0 = time.perf_counter()
