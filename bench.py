@@ -40,6 +40,7 @@ def main():
               weighted=True)
     gs = GraphSlice.from_host(hg)
     results["n"], results["m"] = hg.n, hg.m
+    print(f"# graph n={hg.n} m={hg.m}", file=sys.stderr, flush=True)
 
     # ---------------- BFS (headline) ----------------
     res = bfs(gs, 0)
@@ -49,7 +50,8 @@ def main():
     ) / max(int(res.num_iterations), 1)
     # standard MTEPS accounting: edges in the reached component
     edges_reached = float(hg.out_degrees[reached].sum())
-    t = time_fn(lambda: bfs(gs, 0), warmup=2, repeat=5)
+    print("# bfs compiled", file=sys.stderr, flush=True)
+    t = time_fn(lambda: bfs(gs, 0), warmup=1, repeat=3)
     bfs_mteps = edges_reached / t.min_s / 1e6
     results["bfs"] = {
         "iterations": int(res.num_iterations),
@@ -59,7 +61,8 @@ def main():
 
     # ---------------- SSSP ----------------
     res_s = sssp(gs, 0)
-    t = time_fn(lambda: sssp(gs, 0), warmup=2, repeat=3)
+    print("# sssp compiled", file=sys.stderr, flush=True)
+    t = time_fn(lambda: sssp(gs, 0), warmup=1, repeat=2)
     results["sssp"] = {
         "iterations": int(res_s.num_iterations),
         "time_ms": t.min_s * 1e3,
@@ -69,7 +72,8 @@ def main():
     # ---------------- PageRank ----------------
     res_p = pagerank(gs, max_iter=30)
     iters = max(int(res_p.num_iterations), 1)
-    t = time_fn(lambda: pagerank(gs, max_iter=30), warmup=1, repeat=3)
+    print("# pr compiled", file=sys.stderr, flush=True)
+    t = time_fn(lambda: pagerank(gs, max_iter=30), warmup=1, repeat=2)
     results["pagerank"] = {
         "iterations": iters,
         "time_ms": t.min_s * 1e3,
@@ -89,7 +93,7 @@ def main():
             fwd = jax.jit(
                 lambda p, xx: gcn_forward(p, gs, norm, xx, impl=impl)
             )
-            t = time_fn(lambda: fwd(params, x), warmup=2, repeat=5)
+            t = time_fn(lambda: fwd(params, x), warmup=1, repeat=3)
             results[f"gcn_{impl}"] = {
                 "time_ms": t.min_s * 1e3,
                 "agg_edges_per_s": 2 * hg.m / t.min_s,

@@ -169,7 +169,15 @@ class GraphSlice:
         "edge_mask",
         "edge_mask_csc",
     )
-    _META_FIELDS = ("n", "m", "n_pad", "m_pad", "directed")
+    _META_FIELDS = (
+        "n",
+        "m",
+        "n_pad",
+        "m_pad",
+        "directed",
+        "max_out_degree",
+        "max_in_degree",
+    )
 
     def __init__(self, **kw):
         for f in self._DATA_FIELDS + self._META_FIELDS:
@@ -242,6 +250,14 @@ class GraphSlice:
             n_pad=n_pad,
             m_pad=m_pad,
             directed=hg.directed,
+            # static (meta) bounds: the ghost vertex absorbs m_pad - m pad
+            # edges, so its segment can exceed the real max degree
+            max_out_degree=int(
+                max(hg.out_degrees.max(initial=0), m_pad - m)
+            ),
+            max_in_degree=int(
+                max(hg.in_degrees.max(initial=0), m_pad - m)
+            ),
             **{k: put(v) for k, v in arrays.items()},
         )
 

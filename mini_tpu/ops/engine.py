@@ -79,7 +79,8 @@ def reduce_csc_by_dst(
         else jnp.asarray(identity, edge_vals.dtype)
     )
     return segmented_scan_reduce(
-        edge_vals, g.csc_dsts, g.col_offsets, op, ident
+        edge_vals, g.csc_dsts, g.col_offsets, op, ident,
+        max_seg_len=g.max_in_degree,
     )
 
 
@@ -104,5 +105,6 @@ def reduce_csr_by_src(
         else jnp.asarray(identity, edge_vals.dtype)
     )
     return segmented_scan_reduce(
-        edge_vals, g.csr_srcs, g.row_offsets, op, ident
+        edge_vals, g.csr_srcs, g.row_offsets, op, ident,
+        max_seg_len=g.max_out_degree,
     )

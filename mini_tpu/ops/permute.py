@@ -83,17 +83,29 @@ def segmented_scan_reduce(
     offsets: jnp.ndarray,  # int[n+1]
     op: str,  # 'min' | 'max' | 'sum'
     identity,
+    max_seg_len: int | None = None,
 ) -> jnp.ndarray:
-    """Segmented min/max/sum over contiguous sorted segments via one
-    associative scan over (value, segment-id) pairs, then a take at segment
-    ends.  No scatter; deterministic (fixed tree order)."""
+    """Segmented min/max/sum over contiguous sorted segments via a
+    Hillis-Steele segmented scan (log2(max segment length) shifted-combine
+    steps — plain vector ops, unlike `lax.associative_scan`, whose recursive
+    lowering chokes the TPU remote compiler), then a take at segment ends.
+    No scatter; deterministic.
+
+    ``max_seg_len`` (static) bounds the scan depth — pass the graph's max
+    degree to cut steps from log2(m) to log2(max_deg).
+    """
     fn = {"min": jnp.minimum, "max": jnp.maximum, "sum": jnp.add}[op]
-
-    def combine(a, b):
-        av, aseg = a
-        bv, bseg = b
-        same = aseg == bseg
-        return jnp.where(same, fn(av, bv), bv), bseg
-
-    scanned, _ = jax.lax.associative_scan(combine, (vals, seg_ids))
-    return segment_ends_take(scanned, offsets, identity)
+    m = vals.shape[0]
+    if max_seg_len is None:
+        max_seg_len = m
+    x = vals
+    s = seg_ids
+    d = 1
+    while d < max_seg_len:
+        pad_v = jnp.full((d,), identity, x.dtype)
+        pad_s = jnp.full((d,), -1, s.dtype)
+        sv = jnp.concatenate([pad_v, x[:-d]])
+        ss = jnp.concatenate([pad_s, s[:-d]])
+        x = jnp.where(ss == s, fn(x, sv), x)
+        d *= 2
+    return segment_ends_take(x, offsets, identity)
