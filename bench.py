@@ -14,9 +14,9 @@ import sys
 
 import numpy as np
 
-# First-light TPU v5e measurement (see BASELINE.md); update only with the
-# committed history, never per-run.
-BASELINE_MTEPS = 1000.0
+# First-light TPU v5e measurement at scale 18 (see BASELINE.md); update only
+# with the committed history, never per-run.
+BASELINE_MTEPS = 100.0
 
 SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 18
 EDGE_FACTOR = 16

@@ -1,0 +1,141 @@
+"""Distributed GCN over the edge-partitioned graph (BASELINE.json config 5:
+2-layer GCN, edge-partitioned across N>=2 hosts).
+
+Sharding layout: activations row-sharded by the dst-range vertex partition
+(`parallel/partition.py`); parameters replicated (psum'd grads).  Each layer
+computes the dense H @ W locally, all-gathers the projected feature slab
+over the graph axis (the only cross-chip traffic), and reduces its own
+in-edges locally.  The boundary-only all-to-all with compute overlap is the
+planned refinement of the all-gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mini_tpu.parallel.partition import PartitionedGraph
+from mini_tpu.parallel.distributed import DeviceShards
+from mini_tpu.ops.segment import segment_reduce
+
+
+def gcn_norm_arrays(pg: PartitionedGraph):
+    """Replicated global inv-sqrt(deg_hat) + per-shard self coefficients.
+
+    deg_hat = in_degree + 1 (matches single-chip `models/gcn.gcn_normalize`).
+    """
+    deg_hat = np.ones(pg.n_pad, np.float32)
+    deg_hat[: pg.n] += np.concatenate(
+        [pg.in_degrees.reshape(-1)]
+    )[: pg.n]
+    inv_sqrt = 1.0 / np.sqrt(deg_hat)
+    real = np.arange(pg.n_pad) < pg.n
+    self_coeff = np.where(real, 1.0 / deg_hat, 0.0).astype(np.float32)
+    return jnp.asarray(inv_sqrt), jnp.asarray(
+        self_coeff.reshape(pg.num_shards, pg.n_loc)
+    )
+
+
+def dist_gcn_train_step_fn(
+    pg: PartitionedGraph, mesh: Mesh, axis: str = "graph", lr: float = 0.05
+):
+    """Build the jitted shard_map training step.
+
+    Returns step(shards, params, opt, x, labels, mask, inv_sqrt, self_coeff)
+    -> (params, opt, loss); x/labels/mask/self_coeff are [D, n_loc, ...]
+    sharded, params/opt/inv_sqrt replicated.
+    """
+    n_loc = pg.n_loc
+
+    def forward(g: DeviceShards, params, x_loc, inv_sqrt, self_c):
+        esrc = g.csc_srcs[0]
+        edst = g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        # symmetric normalization: w_e = inv_sqrt[src] * inv_sqrt[dst]
+        dst_global = edst + jax.lax.axis_index(axis) * n_loc
+        ew = jnp.where(
+            emask, inv_sqrt[esrc] * inv_sqrt[dst_global], 0.0
+        )
+        h = x_loc
+        for i, layer in enumerate(params):
+            hw = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
+            hw_full = jax.lax.all_gather(hw, axis, tiled=True)
+            msgs = hw_full[esrc] * ew[:, None]
+            agg = segment_reduce(msgs, edst, n_loc, "sum")
+            h = agg + self_c[:, None] * hw + layer["b"]
+            if i < len(params) - 1:
+                h = jax.nn.relu(h)
+        return h
+
+    def step(g, params, opt, x, labels, mask, inv_sqrt, self_c):
+        def loss_fn(params):
+            logits = forward(g, params, x[0], inv_sqrt, self_c[0])
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[0][:, None], axis=-1)[
+                :, 0
+            ]
+            nll = jnp.where(mask[0], nll, 0.0)
+            total = jax.lax.psum(jnp.sum(nll), axis)
+            count = jax.lax.psum(jnp.sum(mask[0]), axis)
+            return total / jnp.maximum(count, 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, axis)  # params replicated
+        new_opt = jax.tree_util.tree_map(
+            lambda m, dw: 0.9 * m + dw, opt, grads
+        )
+        new_params = jax.tree_util.tree_map(
+            lambda p, m: p - lr * m, params, new_opt
+        )
+        return new_params, new_opt, loss
+
+    sharded = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis),  # prefix spec: every DeviceShards leaf
+            P(),
+            P(),
+            P(axis),
+            P(axis),
+            P(axis),
+            P(),
+            P(axis),
+        ),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded(step))
+
+
+def dist_gcn_train(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    mesh: Mesh,
+    params,
+    x: jnp.ndarray,  # [D, n_loc, F] sharded
+    labels: jnp.ndarray,  # [D, n_loc] sharded
+    mask: jnp.ndarray,  # [D, n_loc] sharded
+    steps: int = 1,
+    lr: float = 0.05,
+    axis: str = "graph",
+):
+    """Run ``steps`` distributed training steps; returns (params, losses)."""
+    inv_sqrt, self_c = gcn_norm_arrays(pg)
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(axis))
+    params = jax.device_put(params, repl)
+    opt = jax.tree_util.tree_map(jnp.zeros_like, params)
+    inv_sqrt = jax.device_put(inv_sqrt, repl)
+    self_c = jax.device_put(self_c, row)
+    step = dist_gcn_train_step_fn(pg, mesh, axis=axis, lr=lr)
+    losses = []
+    for _ in range(steps):
+        params, opt, loss = step(
+            shards, params, opt, x, labels, mask, inv_sqrt, self_c
+        )
+        losses.append(float(loss))
+    return params, losses
