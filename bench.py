@@ -18,7 +18,7 @@ import numpy as np
 # with the committed history, never per-run.
 BASELINE_MTEPS = 100.0
 
-SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 EDGE_FACTOR = 16
 
 
@@ -43,7 +43,9 @@ def main():
     print(f"# graph n={hg.n} m={hg.m}", file=sys.stderr, flush=True)
 
     # ---------------- BFS (headline) ----------------
-    res = bfs(gs, 0)
+    # RMAT leaves many vertices isolated; traverse from the max-degree hub
+    src = int(np.argmax(hg.out_degrees))
+    res = bfs(gs, src)
     reached = np.asarray(res.labels)[: hg.n] >= 0
     edges_touched = float(hg.out_degrees[reached].sum()) * int(
         res.num_iterations
@@ -51,7 +53,7 @@ def main():
     # standard MTEPS accounting: edges in the reached component
     edges_reached = float(hg.out_degrees[reached].sum())
     print("# bfs compiled", file=sys.stderr, flush=True)
-    t = time_fn(lambda: bfs(gs, 0), warmup=1, repeat=3)
+    t = time_fn(lambda: bfs(gs, src), warmup=1, repeat=3)
     bfs_mteps = edges_reached / t.min_s / 1e6
     results["bfs"] = {
         "iterations": int(res.num_iterations),
@@ -60,9 +62,9 @@ def main():
     }
 
     # ---------------- SSSP ----------------
-    res_s = sssp(gs, 0)
+    res_s = sssp(gs, src)
     print("# sssp compiled", file=sys.stderr, flush=True)
-    t = time_fn(lambda: sssp(gs, 0), warmup=1, repeat=2)
+    t = time_fn(lambda: sssp(gs, src), warmup=1, repeat=2)
     results["sssp"] = {
         "iterations": int(res_s.num_iterations),
         "time_ms": t.min_s * 1e3,
