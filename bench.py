@@ -14,9 +14,9 @@ import sys
 
 import numpy as np
 
-# First-light TPU v5e measurement at scale 18 (see BASELINE.md); update only
-# with the committed history, never per-run.
-BASELINE_MTEPS = 100.0
+# First-light TPU v5e measurement at scale 16 / hub source (BASELINE.md,
+# 2026-08-17); update only with the committed history, never per-run.
+BASELINE_MTEPS = 31.62
 
 SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 EDGE_FACTOR = 16

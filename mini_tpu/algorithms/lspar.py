@@ -64,8 +64,10 @@ def _lspar_impl(g: GraphSlice, hashs, thresholds):
     sims = jnp.where(
         emask & (minwise[esrc] == minwise[edst]), 1, 0
     ).astype(jnp.int32)
-    # (3) stable global sort by (src, sim desc) — segments stay contiguous
-    key = esrc.astype(jnp.int64) * 2 + (1 - sims).astype(jnp.int64)
+    # (3) stable global sort by (src, sim desc) — segments stay contiguous.
+    # int32 key: src*2 + (1-sim) needs n_pad < 2^30 (graphs beyond that
+    # exceed single-chip HBM anyway).
+    key = esrc * 2 + (1 - sims)
     order = jnp.argsort(key, stable=True)
     src_sorted = esrc[order]
     # (4) within-segment rank + threshold tag

@@ -16,6 +16,19 @@ from mini_tpu.ops.operators import (  # noqa: F401
     compute,
 )
 from mini_tpu.ops.spmm import spmm, sddmm  # noqa: F401
+from mini_tpu.ops.permute import (  # noqa: F401
+    expand_to_edges,
+    apply_fixed_perm,
+    segmented_scan_reduce,
+)
+from mini_tpu.ops.engine import (  # noqa: F401
+    src_vals_to_csc,
+    dst_vals_to_csc,
+    src_vals_to_csr,
+    dst_vals_to_csr,
+    reduce_csc_by_dst,
+    reduce_csr_by_src,
+)
 
 
 def reduce_by_dst(g, vals, op="sum", mask=None):

@@ -103,23 +103,28 @@ def advance(
     Returns (next_frontier, edge_view, active_edge_mask) so callers can run
     further per-edge updates (the apply phase) over the same sweep.
     """
+    from mini_tpu.ops.engine import (
+        src_vals_to_csc,
+        dst_vals_to_csc,
+        reduce_csc_by_dst,
+    )
+
     if direction == "push":
         ev = edges_by_dst(g)  # reduce by dst: CSC order
-        active = frontier.mask[ev.src] & ev.mask
+        # gather-free frontier membership (see ops/engine.py)
+        member = src_vals_to_csc(g, frontier.mask.astype(jnp.int32)) > 0
+        active = member & ev.mask
         if cond is not None:
             active = active & cond(ev)
-        nxt = segment_reduce(
-            active, ev.dst, g.n_pad, "or", offsets=g.col_offsets
-        )
+        nxt = reduce_csc_by_dst(g, active, "or")
         return Frontier(nxt), ev, active
     elif direction == "pull":
         ev = edges_by_dst(g)
-        active = frontier.mask[ev.dst] & ev.mask
+        member = dst_vals_to_csc(g, frontier.mask.astype(jnp.int32)) > 0
+        active = member & ev.mask
         if cond is not None:
             active = active & cond(ev)
-        nxt = segment_reduce(
-            active, ev.dst, g.n_pad, "or", offsets=g.col_offsets
-        )
+        nxt = reduce_csc_by_dst(g, active, "or")
         return Frontier(nxt), ev, active
     raise ValueError(f"unknown direction {direction!r}")
 
@@ -138,7 +143,11 @@ def apply_to_dst(
     `sssp/sssp_functor.hxx:20-28`, atomicAdd degree decrement
     `kcore/kcore_functor.hxx:31-35`).
     """
-    return segment_reduce(values, ev.dst, g.n_pad, op, mask=active)
+    from mini_tpu.ops.engine import reduce_csc_by_dst
+    from mini_tpu.ops.segment import identity_for
+
+    masked = jnp.where(active, values, identity_for(op, values.dtype))
+    return reduce_csc_by_dst(g, masked, op)
 
 
 def filter_frontier(
@@ -171,20 +180,29 @@ def neighborhood_reduce(
     Vertices outside the frontier (and zero-degree vertices) receive the
     reduction identity.  Returns a dense [n_pad] array.
     """
+    from mini_tpu.ops.engine import (
+        dst_vals_to_csc,
+        src_vals_to_csr,
+        reduce_csc_by_dst,
+        reduce_csr_by_src,
+    )
+
+    fmask = frontier.mask.astype(jnp.int32)
     if direction == "pull":
         ev = edges_by_dst(g)
-        seg = ev.dst
-        member = frontier.mask[ev.dst]
+        member = dst_vals_to_csc(g, fmask) > 0
+        reducer = reduce_csc_by_dst
     elif direction == "push":
         ev = edges_by_src(g)
-        seg = ev.src
-        member = frontier.mask[ev.src]
+        member = src_vals_to_csr(g, fmask) > 0
+        reducer = reduce_csr_by_src
     else:
         raise ValueError(f"unknown direction {direction!r}")
     vals = value_fn(ev)
-    out = segment_reduce(
-        vals, seg, g.n_pad, op, mask=member & ev.mask
+    masked = jnp.where(
+        member & ev.mask, vals, identity_for(op, vals.dtype)
     )
+    out = reducer(g, masked, op)
     if identity is not None:
         ident = identity_for(op, vals.dtype)
         out = jnp.where(out == ident, jnp.asarray(identity, vals.dtype), out)

@@ -4,3 +4,5 @@ from mini_tpu.utils.validate import (  # noqa: F401
     validate_close,
     display_device_data,
 )
+from mini_tpu.utils.checkpoint import save_pytree, load_pytree  # noqa: F401
+from mini_tpu.utils.profiling import trace, scope, annotate  # noqa: F401

@@ -1,0 +1,73 @@
+"""segment_sort + checkpoint/profiling utility tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mini_tpu.graph import erdos_renyi, GraphSlice
+from mini_tpu.ops.sort import segment_sort, segment_argsort
+from mini_tpu.utils import save_pytree, load_pytree, scope
+
+
+def test_segment_sort_matches_numpy():
+    hg = erdos_renyi(60, 400, seed=0)
+    gs = GraphSlice.from_host(hg)
+    rng = np.random.RandomState(0)
+    keys = rng.randint(0, 100, gs.m_pad).astype(np.int32)
+    srcs = np.asarray(gs.csr_srcs)
+    for desc in (False, True):
+        out = segment_sort(
+            jnp.asarray(keys), gs.csr_srcs, descending=desc
+        )
+        got = np.asarray(out)
+        for v in range(hg.n):
+            lo, hi = hg.row_offsets[v], hg.row_offsets[v + 1]
+            seg = np.sort(keys[lo:hi])
+            np.testing.assert_array_equal(
+                got[lo:hi], seg[::-1] if desc else seg
+            )
+
+
+def test_segment_sort_payload_and_argsort():
+    hg = erdos_renyi(40, 300, seed=1)
+    gs = GraphSlice.from_host(hg)
+    rng = np.random.RandomState(1)
+    keys = rng.rand(gs.m_pad).astype(np.float32)
+    payload = np.arange(gs.m_pad, dtype=np.int32)
+    k_out, p_out = segment_sort(
+        jnp.asarray(keys), gs.csr_srcs, jnp.asarray(payload),
+        descending=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_out), keys[np.asarray(p_out)], rtol=0
+    )
+    order = segment_argsort(jnp.asarray(keys), gs.csr_srcs, descending=True)
+    np.testing.assert_array_equal(np.asarray(order), np.asarray(p_out))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "labels": jnp.arange(10),
+        "nested": [{"w": jnp.ones((3, 4)), "b": jnp.zeros(4)}],
+        "dist": jnp.array([1.5, jnp.inf]),
+    }
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, state)
+    like = {
+        "labels": jnp.zeros(10, jnp.int32),
+        "nested": [{"w": jnp.zeros((3, 4)), "b": jnp.ones(4)}],
+        "dist": jnp.zeros(2),
+    }
+    restored = load_pytree(path, like)
+    np.testing.assert_array_equal(
+        np.asarray(restored["labels"]), np.arange(10)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["nested"][0]["w"]), np.ones((3, 4))
+    )
+    assert np.isinf(np.asarray(restored["dist"])[1])
+
+
+def test_scope_runs():
+    with scope("unit-test"):
+        x = jnp.ones(4) * 2
+    assert float(x.sum()) == 8.0
