@@ -1,0 +1,143 @@
+"""Graph Attention Network on the mini-tpu operator set.
+
+No GAT exists in the reference; this exercises the SDDMM-shaped path
+(per-edge scores from endpoint data — the generalization of L-Spar's
+similarity step, `/root/reference/gunrock/src/lspar/lspar_functor.hxx:28-33`)
+plus a segment-softmax and a weighted SpMM, all over the same CSC gslice.
+
+Per head:  h = X W;  e_uv = LeakyReLU(a_s.h_u + a_d.h_v);
+           alpha = segment_softmax_by_dst(e);  out_v = sum alpha_uv h_u.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_tpu.graph.csr import GraphSlice, HostGraph
+from mini_tpu.ops.engine import (
+    src_vals_to_csc,
+    dst_vals_to_csc,
+    reduce_csc_by_dst,
+)
+from mini_tpu.ops.spmm import spmm
+
+
+def segment_softmax_by_dst(g: GraphSlice, scores: jnp.ndarray) -> jnp.ndarray:
+    """Softmax of CSC-ordered per-edge scores within each dst segment.
+    Masked (ghost) edges get weight 0."""
+    neg = jnp.float32(-1e30)
+    s = jnp.where(g.edge_mask_csc, scores, neg)
+    smax = reduce_csc_by_dst(g, s, "max", identity=0.0)
+    e = jnp.where(
+        g.edge_mask_csc, jnp.exp(s - dst_vals_to_csc(g, smax)), 0.0
+    )
+    denom = reduce_csc_by_dst(g, e, "sum")
+    denom_e = dst_vals_to_csc(g, jnp.maximum(denom, 1e-30))
+    return e / denom_e
+
+
+def gat_init(
+    key: jax.Array,
+    dims: Sequence[int],
+    heads: int = 2,
+    dtype=jnp.float32,
+) -> list[dict]:
+    """Layers project to dims[i+1] per head; hidden layers concat heads,
+    the final layer averages them (standard GAT convention)."""
+    params = []
+    for i in range(len(dims) - 1):
+        fan_in = dims[i] * (heads if i > 0 else 1)
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        scale = jnp.sqrt(6.0 / (fan_in + dims[i + 1]))
+        params.append(
+            {
+                "w": jax.random.uniform(
+                    k1, (heads, fan_in, dims[i + 1]), dtype, -scale, scale
+                ),
+                "a_src": jax.random.uniform(
+                    k2, (heads, dims[i + 1]), dtype, -scale, scale
+                ),
+                "a_dst": jax.random.uniform(
+                    k3, (heads, dims[i + 1]), dtype, -scale, scale
+                ),
+            }
+        )
+    return params
+
+
+def gat_forward(
+    params: list[dict],
+    g: GraphSlice,
+    x: jnp.ndarray,
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    h = x
+    n_layers = len(params)
+    for i, layer in enumerate(params):
+        heads = []
+        for hd in range(layer["w"].shape[0]):
+            hw = jnp.dot(
+                h, layer["w"][hd], preferred_element_type=jnp.float32
+            )
+            s_src = hw @ layer["a_src"][hd]
+            s_dst = hw @ layer["a_dst"][hd]
+            e = src_vals_to_csc(g, s_src) + dst_vals_to_csc(g, s_dst)
+            e = jax.nn.leaky_relu(e, negative_slope)
+            alpha = segment_softmax_by_dst(g, e)
+            heads.append(
+                spmm(g, hw, direction="pull", weights=alpha, impl="xla")
+            )
+        if i < n_layers - 1:
+            h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
+        else:
+            h = sum(heads) / len(heads)
+    return h
+
+
+# ------------------------------------------------------------------ oracle
+def gat_forward_cpu(
+    params_np: list[dict],
+    hg: HostGraph,
+    x: np.ndarray,
+    negative_slope: float = 0.2,
+) -> np.ndarray:
+    """Dense NumPy oracle."""
+    n = hg.n
+    h = x[:n].astype(np.float64)
+    adj = [[] for _ in range(n)]  # in-edges per dst
+    for u, v in zip(hg.csr_srcs, hg.csr_dsts):
+        adj[v].append(int(u))
+    n_layers = len(params_np)
+    for i, layer in enumerate(params_np):
+        heads = []
+        for hd in range(layer["w"].shape[0]):
+            hw = h @ layer["w"][hd]
+            s_src = hw @ layer["a_src"][hd]
+            s_dst = hw @ layer["a_dst"][hd]
+            out = np.zeros_like(hw)
+            for v in range(n):
+                if not adj[v]:
+                    continue
+                scores = np.array(
+                    [s_src[u] + s_dst[v] for u in adj[v]]
+                )
+                scores = np.where(
+                    scores > 0, scores, negative_slope * scores
+                )
+                scores -= scores.max()
+                w = np.exp(scores)
+                w /= w.sum()
+                out[v] = sum(
+                    wi * hw[u] for wi, u in zip(w, adj[v])
+                )
+            heads.append(out)
+        if i < n_layers - 1:
+            h = np.concatenate(heads, axis=-1)
+            h = np.where(h > 0, h, np.exp(np.minimum(h, 0)) - 1)  # elu
+        else:
+            h = sum(heads) / len(heads)
+    return h
