@@ -35,6 +35,11 @@ from mini_tpu.ops.engine import (
     dst_vals_to_csc,
     reduce_csc_by_dst,
 )
+from mini_tpu.ops.sparse import (
+    compact_frontier,
+    expand_frontier,
+    frontier_edge_count,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -44,41 +49,83 @@ class BfsResult:
     preds: jnp.ndarray  # int32[n_pad]: min-id parent, -1 for src/unreached
     num_iterations: jnp.ndarray  # int32
     num_pull_iterations: jnp.ndarray  # int32: iterations run in pull mode
+    num_sparse_iterations: jnp.ndarray  # int32: iterations on the sparse path
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _bfs_impl(g: GraphSlice, src, alpha: float, max_iter: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _bfs_impl(
+    g: GraphSlice, src, alpha: float, max_iter: int, capv: int, cape: int
+):
     n_pad = g.n_pad
     INT_MAX = jnp.iinfo(jnp.int32).max
 
     labels0 = jnp.full(n_pad, -1, jnp.int32).at[src].set(0)
     frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
 
-    def step(state):
-        labels, frontier, it, pulls = state
+    def dense_step(ops):
+        """Full-edge gather-free sweep (expansion + static-rank sort) —
+        the pull/dense direction."""
+        labels, frontier, it = ops
         unvisited = labels == -1
-        # direction accounting (dense engine computes the same fixpoint
-        # either way; the alpha switch is the sparse-path hook)
-        frontier_len = jnp.sum(frontier, dtype=jnp.int32)
-        num_unvisited = jnp.sum(unvisited & (jnp.arange(n_pad) < g.n))
-        use_pull = num_unvisited.astype(jnp.float32) < (
-            frontier_len.astype(jnp.float32) * alpha
-        )
-
-        # gather-free sweep: expansion + one static-rank sort (ops/engine)
         f_csc = src_vals_to_csc(g, frontier.astype(jnp.int32))
         unv_csc = dst_vals_to_csc(g, unvisited.astype(jnp.int32))
         active = (f_csc > 0) & (unv_csc > 0)
         new_vis = reduce_csc_by_dst(g, active, "or")
         labels = jnp.where(new_vis, it + 1, labels)
-        return labels, new_vis, it + 1, pulls + use_pull.astype(jnp.int32)
+        return labels, new_vis
+
+    def sparse_step(ops):
+        """Bounded compact-frontier push (O(capacity), not O(m)) — the
+        reference's LB sparse advance re-expressed (ops/sparse.py)."""
+        labels, frontier, it = ops
+        idx, cnt = compact_frontier(frontier, capv)
+        _, dst, _, valid, _ = expand_frontier(g, idx, cnt, cape)
+        sel = valid & (labels[dst] == -1)
+        dstw = jnp.where(sel, dst, n_pad)
+        vis_ext = jnp.zeros(n_pad + 1, jnp.bool_)
+        vis_ext = vis_ext.at[dstw].max(sel, mode="drop")
+        new_vis = vis_ext[:n_pad]
+        labels = jnp.where(new_vis, it + 1, labels)
+        return labels, new_vis
+
+    def step(state):
+        labels, frontier, it, pulls, sparses = state
+        frontier_len = jnp.sum(frontier, dtype=jnp.int32)
+        num_unvisited = jnp.sum(
+            (labels == -1) & (jnp.arange(n_pad) < g.n)
+        )
+        use_pull = num_unvisited.astype(jnp.float32) < (
+            frontier_len.astype(jnp.float32) * alpha
+        )
+        # direction-optimal switch: sparse push while the frontier's edge
+        # work fits the static capacities, dense sweep otherwise (the
+        # reference switches push->pull on the alpha heuristic,
+        # `bfs/bfs_enactor.hxx:68`; here capacity-fit is the exact
+        # work-based criterion and alpha is kept for accounting/tuning)
+        fits = (
+            (frontier_edge_count(g, frontier) <= cape)
+            & (frontier_len <= capv)
+            & jnp.logical_not(use_pull)
+        )
+        labels, new_vis = jax.lax.cond(
+            fits, sparse_step, dense_step, (labels, frontier, it)
+        )
+        return (
+            labels,
+            new_vis,
+            it + 1,
+            pulls + use_pull.astype(jnp.int32),
+            sparses + fits.astype(jnp.int32),
+        )
 
     def cond(state):
-        _, frontier, it, _ = state
+        _, frontier, it, _, _ = state
         return jnp.any(frontier) & (it < max_iter)
 
-    labels, _, it, pulls = jax.lax.while_loop(
-        cond, step, (labels0, frontier0, jnp.int32(0), jnp.int32(0))
+    labels, _, it, pulls, sparses = jax.lax.while_loop(
+        cond,
+        step,
+        (labels0, frontier0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
     )
 
     # predecessors reconstructed in one post-pass (equivalent to recording
@@ -97,7 +144,7 @@ def _bfs_impl(g: GraphSlice, src, alpha: float, max_iter: int):
     preds = jnp.where(
         (labels > 0) & (pred_min != INT_MAX), pred_min, -1
     ).astype(jnp.int32)
-    return BfsResult(labels, preds, it, pulls)
+    return BfsResult(labels, preds, it, pulls, sparses)
 
 
 def bfs(
@@ -105,14 +152,29 @@ def bfs(
     src: int,
     alpha: float | None = None,
     max_iter: int | None = None,
+    sparse_capv: int | None = None,
+    sparse_cape: int | None = None,
 ) -> BfsResult:
     """Run BFS from ``src``.  ``alpha`` is the push->pull switch threshold
-    (reference default ``1/num_nodes``, `tests/bfs/test_bfs.cu:30`)."""
+    (reference default ``1/num_nodes``, `tests/bfs/test_bfs.cu:30`);
+    ``sparse_capv``/``sparse_cape`` bound the compact-push path (0 disables).
+    """
     if alpha is None:
         alpha = 1.0 / max(g.n, 1)
     if max_iter is None:
         max_iter = g.n_pad
-    return _bfs_impl(g, jnp.asarray(src), float(alpha), int(max_iter))
+    if sparse_capv is None:
+        sparse_capv = min(g.n_pad, max(128, g.n_pad // 8))
+    if sparse_cape is None:
+        sparse_cape = min(g.m_pad, max(1024, g.m_pad // 8))
+    return _bfs_impl(
+        g,
+        jnp.asarray(src),
+        float(alpha),
+        int(max_iter),
+        int(sparse_capv),
+        int(sparse_cape),
+    )
 
 
 def bfs_cpu(hg: HostGraph, src: int) -> np.ndarray:

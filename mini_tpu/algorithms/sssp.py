@@ -31,6 +31,11 @@ from mini_tpu.ops.engine import (
     dst_vals_to_csc,
     reduce_csc_by_dst,
 )
+from mini_tpu.ops.sparse import (
+    compact_frontier,
+    expand_frontier,
+    frontier_edge_count,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -39,10 +44,11 @@ class SsspResult:
     dists: jnp.ndarray  # float32[n_pad], inf = unreachable
     preds: jnp.ndarray  # int32[n_pad], -1 for src/unreached
     num_iterations: jnp.ndarray
+    num_sparse_iterations: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _sssp_impl(g: GraphSlice, src, max_iter: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
     n_pad = g.n_pad
     inf = jnp.float32(jnp.inf)
     INT_MAX = jnp.iinfo(jnp.int32).max
@@ -50,8 +56,8 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int):
     dist0 = jnp.full(n_pad, inf, jnp.float32).at[src].set(0.0)
     frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
 
-    def step(state):
-        dist, frontier, it = state
+    def dense_step(ops):
+        dist, frontier, it = ops
         # masked distances expand bit-exactly (ops/permute expansion);
         # non-frontier and ghost sources carry +inf and never win the min
         dist_masked = jnp.where(frontier, dist, inf)
@@ -60,14 +66,39 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int):
         best = reduce_csc_by_dst(g, cand, "min")
         improved = best < dist
         dist = jnp.minimum(dist, best)
-        return dist, improved, it + 1
+        return dist, improved
+
+    def sparse_step(ops):
+        """Bounded compact-frontier relax: same f32 min over the same
+        candidate set -> bitwise-identical to the dense sweep."""
+        dist, frontier, it = ops
+        idx, cnt = compact_frontier(frontier, capv)
+        esrc, edst, eid, valid, _ = expand_frontier(g, idx, cnt, cape)
+        cand = dist[esrc] + g.csr_weights[eid]
+        dstw = jnp.where(valid, edst, n_pad)
+        dist_ext = jnp.concatenate([dist, jnp.full(1, inf)])
+        dist2 = dist_ext.at[dstw].min(
+            jnp.where(valid, cand, inf), mode="drop"
+        )[:n_pad]
+        improved = dist2 < dist
+        return dist2, improved
+
+    def step(state):
+        dist, frontier, it, sparses = state
+        fits = (
+            frontier_edge_count(g, frontier) <= cape
+        ) & (jnp.sum(frontier, dtype=jnp.int32) <= capv)
+        dist, improved = jax.lax.cond(
+            fits, sparse_step, dense_step, (dist, frontier, it)
+        )
+        return dist, improved, it + 1, sparses + fits.astype(jnp.int32)
 
     def cond(state):
-        _, frontier, it = state
+        _, frontier, it, _ = state
         return jnp.any(frontier) & (it < max_iter)
 
-    dist, _, it = jax.lax.while_loop(
-        cond, step, (dist0, frontier0, jnp.int32(0))
+    dist, _, it, sparses = jax.lax.while_loop(
+        cond, step, (dist0, frontier0, jnp.int32(0), jnp.int32(0))
     )
 
     # predecessors in one post-pass: pred[v] = min{u : dist[u]+w == dist[v]}
@@ -86,13 +117,26 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int):
         jnp.isfinite(dist) & (pred_min != INT_MAX), pred_min, -1
     ).astype(jnp.int32)
     preds = preds.at[src].set(-1)
-    return SsspResult(dist, preds, it)
+    return SsspResult(dist, preds, it, sparses)
 
 
-def sssp(g: GraphSlice, src: int, max_iter: int | None = None) -> SsspResult:
+def sssp(
+    g: GraphSlice,
+    src: int,
+    max_iter: int | None = None,
+    sparse_capv: int | None = None,
+    sparse_cape: int | None = None,
+) -> SsspResult:
     if max_iter is None:
         max_iter = g.n_pad  # Bellman-Ford converges in <= n-1 rounds
-    return _sssp_impl(g, jnp.asarray(src), int(max_iter))
+    if sparse_capv is None:
+        sparse_capv = min(g.n_pad, max(128, g.n_pad // 8))
+    if sparse_cape is None:
+        sparse_cape = min(g.m_pad, max(1024, g.m_pad // 8))
+    return _sssp_impl(
+        g, jnp.asarray(src), int(max_iter), int(sparse_capv),
+        int(sparse_cape),
+    )
 
 
 def sssp_cpu(hg: HostGraph, src: int) -> tuple[np.ndarray, np.ndarray]:
