@@ -39,6 +39,7 @@ from mini_tpu.ops.sparse import (
     compact_frontier,
     expand_frontier,
     frontier_edge_count,
+    default_tiers,
 )
 
 
@@ -74,19 +75,26 @@ def _bfs_impl(
         labels = jnp.where(new_vis, it + 1, labels)
         return labels, new_vis
 
-    def sparse_step(ops):
-        """Bounded compact-frontier push (O(capacity), not O(m)) — the
-        reference's LB sparse advance re-expressed (ops/sparse.py)."""
-        labels, frontier, it = ops
-        idx, cnt = compact_frontier(frontier, capv)
-        _, dst, _, valid, _ = expand_frontier(g, idx, cnt, cape)
-        sel = valid & (labels[dst] == -1)
-        dstw = jnp.where(sel, dst, n_pad)
-        vis_ext = jnp.zeros(n_pad + 1, jnp.bool_)
-        vis_ext = vis_ext.at[dstw].max(sel, mode="drop")
-        new_vis = vis_ext[:n_pad]
-        labels = jnp.where(new_vis, it + 1, labels)
-        return labels, new_vis
+    tiers = default_tiers(g, capv, cape) if cape > 1 else []
+
+    def make_sparse_step(tier_capv, tier_cape):
+        def sparse_step(ops):
+            """Bounded compact-frontier push (O(capacity), not O(m)) — the
+            reference's LB sparse advance re-expressed (ops/sparse.py)."""
+            labels, frontier, it = ops
+            idx, cnt = compact_frontier(frontier, tier_capv)
+            _, dst, _, valid, _ = expand_frontier(g, idx, cnt, tier_cape)
+            sel = valid & (labels[dst] == -1)
+            dstw = jnp.where(sel, dst, n_pad)
+            vis_ext = jnp.zeros(n_pad + 1, jnp.bool_)
+            vis_ext = vis_ext.at[dstw].max(sel, mode="drop")
+            new_vis = vis_ext[:n_pad]
+            labels = jnp.where(new_vis, it + 1, labels)
+            return labels, new_vis
+
+        return sparse_step
+
+    branches = [make_sparse_step(cv, ce) for cv, ce in tiers] + [dense_step]
 
     def step(state):
         labels, frontier, it, pulls, sparses = state
@@ -97,25 +105,28 @@ def _bfs_impl(
         use_pull = num_unvisited.astype(jnp.float32) < (
             frontier_len.astype(jnp.float32) * alpha
         )
-        # direction-optimal switch: sparse push while the frontier's edge
-        # work fits the static capacities, dense sweep otherwise (the
-        # reference switches push->pull on the alpha heuristic,
-        # `bfs/bfs_enactor.hxx:68`; here capacity-fit is the exact
-        # work-based criterion and alpha is kept for accounting/tuning)
-        fits = (
-            (frontier_edge_count(g, frontier) <= cape)
-            & (frontier_len <= capv)
-            & jnp.logical_not(use_pull)
+        # direction-optimal switch: smallest sparse capacity tier that fits
+        # the frontier's edge work, dense sweep otherwise (the reference
+        # switches push->pull on the alpha heuristic,
+        # `bfs/bfs_enactor.hxx:68`; capacity-fit is the exact work-based
+        # criterion and alpha is kept for accounting/tuning)
+        fe = frontier_edge_count(g, frontier)
+        tier_idx = jnp.int32(len(tiers))  # dense default
+        for i in reversed(range(len(tiers))):
+            cv, ce = tiers[i]
+            fits = (fe <= ce) & (frontier_len <= cv)
+            tier_idx = jnp.where(fits, jnp.int32(i), tier_idx)
+        tier_idx = jnp.where(use_pull, jnp.int32(len(tiers)), tier_idx)
+        labels, new_vis = jax.lax.switch(
+            tier_idx, branches, (labels, frontier, it)
         )
-        labels, new_vis = jax.lax.cond(
-            fits, sparse_step, dense_step, (labels, frontier, it)
-        )
+        is_sparse = tier_idx < len(tiers)
         return (
             labels,
             new_vis,
             it + 1,
             pulls + use_pull.astype(jnp.int32),
-            sparses + fits.astype(jnp.int32),
+            sparses + is_sparse.astype(jnp.int32),
         )
 
     def cond(state):

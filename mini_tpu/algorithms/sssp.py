@@ -35,6 +35,7 @@ from mini_tpu.ops.sparse import (
     compact_frontier,
     expand_frontier,
     frontier_edge_count,
+    default_tiers,
 )
 
 
@@ -68,30 +69,45 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
         dist = jnp.minimum(dist, best)
         return dist, improved
 
-    def sparse_step(ops):
-        """Bounded compact-frontier relax: same f32 min over the same
-        candidate set -> bitwise-identical to the dense sweep."""
-        dist, frontier, it = ops
-        idx, cnt = compact_frontier(frontier, capv)
-        esrc, edst, eid, valid, _ = expand_frontier(g, idx, cnt, cape)
-        cand = dist[esrc] + g.csr_weights[eid]
-        dstw = jnp.where(valid, edst, n_pad)
-        dist_ext = jnp.concatenate([dist, jnp.full(1, inf)])
-        dist2 = dist_ext.at[dstw].min(
-            jnp.where(valid, cand, inf), mode="drop"
-        )[:n_pad]
-        improved = dist2 < dist
-        return dist2, improved
+    tiers = default_tiers(g, capv, cape) if cape > 1 else []
+
+    def make_sparse_step(tier_capv, tier_cape):
+        def sparse_step(ops):
+            """Bounded compact-frontier relax: same f32 min over the same
+            candidate set -> bitwise-identical to the dense sweep."""
+            dist, frontier, it = ops
+            idx, cnt = compact_frontier(frontier, tier_capv)
+            esrc, edst, eid, valid, _ = expand_frontier(
+                g, idx, cnt, tier_cape
+            )
+            cand = dist[esrc] + g.csr_weights[eid]
+            dstw = jnp.where(valid, edst, n_pad)
+            dist_ext = jnp.concatenate([dist, jnp.full(1, inf)])
+            dist2 = dist_ext.at[dstw].min(
+                jnp.where(valid, cand, inf), mode="drop"
+            )[:n_pad]
+            improved = dist2 < dist
+            return dist2, improved
+
+        return sparse_step
+
+    branches = [make_sparse_step(cv, ce) for cv, ce in tiers] + [dense_step]
 
     def step(state):
         dist, frontier, it, sparses = state
-        fits = (
-            frontier_edge_count(g, frontier) <= cape
-        ) & (jnp.sum(frontier, dtype=jnp.int32) <= capv)
-        dist, improved = jax.lax.cond(
-            fits, sparse_step, dense_step, (dist, frontier, it)
+        fe = frontier_edge_count(g, frontier)
+        fl = jnp.sum(frontier, dtype=jnp.int32)
+        tier_idx = jnp.int32(len(tiers))
+        for i in reversed(range(len(tiers))):
+            cv, ce = tiers[i]
+            tier_idx = jnp.where(
+                (fe <= ce) & (fl <= cv), jnp.int32(i), tier_idx
+            )
+        dist, improved = jax.lax.switch(
+            tier_idx, branches, (dist, frontier, it)
         )
-        return dist, improved, it + 1, sparses + fits.astype(jnp.int32)
+        is_sparse = tier_idx < len(tiers)
+        return dist, improved, it + 1, sparses + is_sparse.astype(jnp.int32)
 
     def cond(state):
         _, frontier, it, _ = state

@@ -20,6 +20,34 @@ from mini_tpu.graph.csr import GraphSlice
 from mini_tpu.ops.segment import exclusive_cumsum
 
 
+def default_tiers(
+    g: GraphSlice,
+    max_capv: int | None = None,
+    max_cape: int | None = None,
+) -> list[tuple[int, int]]:
+    """Ascending (capv, cape) capacity tiers for the sparse path.
+
+    Static shapes mean a sparse step costs O(capacity) regardless of the
+    actual frontier, so several tiers let tiny frontiers (high-diameter
+    graphs) pay tiny sweeps while mid-size frontiers still beat the dense
+    O(m) sweep.  Tiers top out around m/16 — beyond that the dense engine
+    wins (a cape-sized sparse step costs ~10x more per element than the
+    dense sweep's vectorized path).
+    """
+    if max_cape is None:
+        max_cape = max(1024, g.m_pad // 16)
+    if max_capv is None:
+        max_capv = min(g.n_pad, max_cape)
+    tiers = []
+    for cape in (max(1024, max_cape // 16), max(1024, max_cape // 4),
+                 max_cape):
+        cape = min(cape, g.m_pad)
+        capv = min(max_capv, cape, g.n_pad)
+        if (capv, cape) not in tiers:
+            tiers.append((capv, cape))
+    return tiers
+
+
 def frontier_edge_count(g: GraphSlice, mask: jnp.ndarray) -> jnp.ndarray:
     """Total out-edges of frontier vertices (the reference's degree-scan
     total, kept on device)."""
@@ -60,16 +88,22 @@ def expand_frontier(
     pos = exclusive_cumsum(degs)  # [capv]
     total = pos[-1] + degs[-1]
 
-    slots = jnp.arange(cape, dtype=jnp.int32)
-    vslot = (
-        jnp.searchsorted(pos, slots, side="right").astype(jnp.int32) - 1
-    )
+    # merge-path assignment without searchsorted (whose binary search costs
+    # log(capv) cape-sized gathers): scatter a +1 at each vertex's start
+    # offset and prefix-sum — vslot[s] = (# starts <= s) - 1.  Zero-degree
+    # frontier vertices stack at the same bin; the later vertex wins, which
+    # matches searchsorted(side='right')-1.
+    starts = jnp.where(in_range, jnp.clip(pos, 0, cape), cape)
+    hist = jnp.zeros(cape + 1, jnp.int32).at[starts].add(1, mode="drop")
+    vslot = jnp.cumsum(hist[:cape]) - 1
     vslot = jnp.clip(vslot, 0, capv - 1)
+
+    slots = jnp.arange(cape, dtype=jnp.int32)
     valid = slots < total
     src = indices[vslot]
     rank = slots - pos[vslot]
     eid = g.row_offsets[src] + rank
     eid = jnp.clip(eid, 0, g.m_pad - 1)
     dst = g.csr_dsts[eid]
-    valid = valid & (rank < g.out_degrees[src])
+    valid = valid & (rank < g.out_degrees[src]) & (rank >= 0)
     return src, dst, eid, valid, total
