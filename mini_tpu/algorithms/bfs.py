@@ -35,6 +35,7 @@ from mini_tpu.ops.engine import (
     dst_vals_to_csc,
     reduce_csc_by_dst,
 )
+from mini_tpu.ops.permute import expand_to_edges, apply_fixed_perm_bit
 from mini_tpu.ops.sparse import (
     compact_frontier,
     expand_frontier,
@@ -63,12 +64,18 @@ def _bfs_impl(
     labels0 = jnp.full(n_pad, -1, jnp.int32).at[src].set(0)
     frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
 
+    rank2 = g.csr_to_csc_rank * 2  # loop-invariant; hoisted by XLA
+
     def dense_step(ops):
         """Full-edge gather-free sweep (expansion + static-rank sort) —
-        the pull/dense direction."""
+        the pull/dense direction.  The frontier bit rides inside the sort
+        key (single-array sort, ops/permute.apply_fixed_perm_bit)."""
         labels, frontier, it = ops
         unvisited = labels == -1
-        f_csc = src_vals_to_csc(g, frontier.astype(jnp.int32))
+        f_csr = expand_to_edges(
+            frontier.astype(jnp.int32), g.row_offsets, g.m_pad
+        )
+        f_csc = apply_fixed_perm_bit(rank2, f_csr)
         unv_csc = dst_vals_to_csc(g, unvisited.astype(jnp.int32))
         active = (f_csc > 0) & (unv_csc > 0)
         new_vis = reduce_csc_by_dst(g, active, "or")

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mini_tpu.graph.csr import GraphSlice, HostGraph
-from mini_tpu.ops.engine import src_vals_to_csc, reduce_csc_by_dst
+from mini_tpu.ops.engine import reduce_csc_by_dst
+from mini_tpu.ops.permute import expand_to_edges, apply_fixed_perm_bit
 
 
 @jax.tree_util.register_dataclass
@@ -41,13 +42,18 @@ def _kcore_impl(g: GraphSlice, max_k: int):
 
     deg0 = g.out_degrees.astype(jnp.int32)
     cores0 = jnp.zeros(n_pad, jnp.int32)
+    rank2 = g.csr_to_csc_rank * 2
 
     def peel_round(state):
         deg, cores, k, iters = state
         peel = (deg < k) & (deg > 0)
         cores = jnp.where(peel, k - 1, cores)
-        # per-dst count of in-edges from peeled sources (gather-free sweep)
-        peel_csc = src_vals_to_csc(g, peel.astype(jnp.int32))
+        # per-dst count of in-edges from peeled sources (gather-free sweep;
+        # the peel bit rides inside the sort key)
+        peel_csr = expand_to_edges(
+            peel.astype(jnp.int32), g.row_offsets, g.m_pad
+        )
+        peel_csc = apply_fixed_perm_bit(rank2, peel_csr)
         dec = reduce_csc_by_dst(g, peel_csc, "sum")
         deg = jnp.where(peel, 0, deg - dec)
         return deg, cores, k, iters + 1

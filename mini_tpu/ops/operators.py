@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from mini_tpu.graph.csr import GraphSlice
 from mini_tpu.ops.frontier import Frontier
-from mini_tpu.ops.segment import segment_reduce, identity_for
+from mini_tpu.ops.segment import identity_for
 
 
 @jax.tree_util.register_dataclass

@@ -64,6 +64,17 @@ def apply_fixed_perm(
     return outs[0] if len(outs) == 1 else outs
 
 
+def apply_fixed_perm_bit(
+    rank2: jnp.ndarray,  # int32[m]: 2 * output position (precomputed)
+    bits: jnp.ndarray,  # int32[m] in {0, 1}
+) -> jnp.ndarray:
+    """Permute a BIT array by packing it into the sort key: one
+    single-array sort instead of key+payload.  ``rank2`` must be
+    ``2 * rank`` (requires m < 2^30)."""
+    packed = rank2 | bits
+    return jax.lax.sort(packed) & 1
+
+
 def segment_ends_take(
     edge_vals: jnp.ndarray,  # [m_pad]
     offsets: jnp.ndarray,  # int[n+1]
