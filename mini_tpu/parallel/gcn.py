@@ -41,17 +41,28 @@ def gcn_norm_arrays(pg: PartitionedGraph):
 
 
 def dist_gcn_train_step_fn(
-    pg: PartitionedGraph, mesh: Mesh, axis: str = "graph", lr: float = 0.05
+    pg: PartitionedGraph,
+    mesh: Mesh,
+    axis: str = "graph",
+    lr: float = 0.05,
+    halo_plan=None,
 ):
     """Build the jitted shard_map training step.
 
     Returns step(shards, params, opt, x, labels, mask, inv_sqrt, self_coeff)
     -> (params, opt, loss); x/labels/mask/self_coeff are [D, n_loc, ...]
-    sharded, params/opt/inv_sqrt replicated.
+    sharded, params/opt/inv_sqrt replicated.  With ``halo_plan`` (see
+    parallel/halo.py) the feature exchange is boundary-only all-to-all
+    instead of a full all-gather.
     """
     n_loc = pg.n_loc
+    D = pg.num_shards
+    if halo_plan is not None:
+        send_idx_h = jnp.asarray(halo_plan.send_idx)
+        src_slot_h = jnp.asarray(halo_plan.src_slot)
+        H = halo_plan.halo_width
 
-    def forward(g: DeviceShards, params, x_loc, inv_sqrt, self_c):
+    def forward(g: DeviceShards, params, x_loc, inv_sqrt, self_c, shard_id):
         esrc = g.csc_srcs[0]
         edst = g.csc_dsts_local[0]
         emask = g.edge_mask[0]
@@ -63,8 +74,19 @@ def dist_gcn_train_step_fn(
         h = x_loc
         for i, layer in enumerate(params):
             hw = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
-            hw_full = jax.lax.all_gather(hw, axis, tiled=True)
-            msgs = hw_full[esrc] * ew[:, None]
+            if halo_plan is None:
+                hw_full = jax.lax.all_gather(hw, axis, tiled=True)
+                msgs = hw_full[esrc] * ew[:, None]
+            else:
+                out_rows = hw[send_idx_h[shard_id].reshape(-1)].reshape(
+                    D, H, -1
+                )
+                halo = jax.lax.all_to_all(
+                    out_rows, axis, split_axis=0, concat_axis=0,
+                    tiled=True,
+                )
+                buf = jnp.concatenate([halo.reshape(D * H, -1), hw], 0)
+                msgs = buf[src_slot_h[shard_id]] * ew[:, None]
             agg = segment_reduce(msgs, edst, n_loc, "sum")
             h = agg + self_c[:, None] * hw + layer["b"]
             if i < len(params) - 1:
@@ -72,8 +94,12 @@ def dist_gcn_train_step_fn(
         return h
 
     def step(g, params, opt, x, labels, mask, inv_sqrt, self_c):
+        shard_id = jax.lax.axis_index(axis)
+
         def loss_fn(params):
-            logits = forward(g, params, x[0], inv_sqrt, self_c[0])
+            logits = forward(
+                g, params, x[0], inv_sqrt, self_c[0], shard_id
+            )
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels[0][:, None], axis=-1)[
                 :, 0
@@ -122,6 +148,7 @@ def dist_gcn_train(
     steps: int = 1,
     lr: float = 0.05,
     axis: str = "graph",
+    halo_plan=None,
 ):
     """Run ``steps`` distributed training steps; returns (params, losses)."""
     inv_sqrt, self_c = gcn_norm_arrays(pg)
@@ -131,7 +158,9 @@ def dist_gcn_train(
     opt = jax.tree_util.tree_map(jnp.zeros_like, params)
     inv_sqrt = jax.device_put(inv_sqrt, repl)
     self_c = jax.device_put(self_c, row)
-    step = dist_gcn_train_step_fn(pg, mesh, axis=axis, lr=lr)
+    step = dist_gcn_train_step_fn(
+        pg, mesh, axis=axis, lr=lr, halo_plan=halo_plan
+    )
     losses = []
     for _ in range(steps):
         params, opt, loss = step(
