@@ -22,3 +22,8 @@ from mini_tpu.algorithms.lspar import (  # noqa: F401
     LsparResult,
     is_prime,
 )
+from mini_tpu.algorithms.cc import (  # noqa: F401
+    connected_components,
+    cc_cpu,
+    CCResult,
+)

@@ -84,15 +84,20 @@ def _segsum_kernel(
             msg_dma(slot, c).wait()
             dst_dma(slot, c).wait()
             local = dst_buf[slot][0] - v0  # (EDGE_CHUNK,)
-            onehot = (local[None, :] == row_ids).astype(jnp.float32)
-            # HIGHEST: the one-hot factor is exactly representable, but the
-            # messages must not be truncated to bf16 (default MXU precision)
-            # — segment sums feed bitwise-validated algorithms.
+            onehot = (local[None, :] == row_ids).astype(msg_buf.dtype)
+            # f32 messages: HIGHEST so the MXU does not truncate them to
+            # bf16 (segment sums feed bitwise-validated algorithms).
+            # bf16 messages (GNN fast path): native bf16 x bf16 -> f32.
+            precision = (
+                jax.lax.Precision.HIGHEST
+                if msg_buf.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
             return acc + jax.lax.dot_general(
                 onehot,
                 msg_buf[slot],
                 (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
                 preferred_element_type=jnp.float32,
             )
 
@@ -106,7 +111,7 @@ def _segsum_kernel(
 def segment_sum_pallas(
     offsets: jnp.ndarray,  # int32[n_pad+1]
     dsts: jnp.ndarray,  # int32[m_pad] (CSC-order segment ids, sorted)
-    msgs: jnp.ndarray,  # float32[m_pad, F]
+    msgs: jnp.ndarray,  # float32/bfloat16 [m_pad, F]
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[v, :] = sum(msgs[offsets[v]:offsets[v+1], :]) for contiguous,
@@ -128,7 +133,7 @@ def segment_sum_pallas(
             (ROW_TILE, F), lambda i, off: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, EDGE_CHUNK, F), jnp.float32),
+            pltpu.VMEM((N_BUF, EDGE_CHUNK, F), msgs.dtype),
             pltpu.VMEM((N_BUF, 1, EDGE_CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((N_BUF, 2)),
         ],
@@ -155,13 +160,17 @@ def spmm_pallas(
     seg_ids: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pull-SpMM: XLA gather for messages + Pallas MXU segment sum."""
+    """Pull-SpMM: XLA gather for messages + Pallas MXU segment sum.
+
+    Cast ``x`` to bfloat16 beforehand for the GNN fast path (~35% faster:
+    the gather moves half the bytes and the MXU skips the 6-pass f32
+    emulation); accumulation stays f32 either way."""
     msgs = x[gather_ids] * w[:, None].astype(x.dtype)
     if seg_ids is None:
         seg_ids = _dst_ids_from_offsets(offsets, gather_ids.shape[0])
-    return segment_sum_pallas(
-        offsets, seg_ids, msgs.astype(jnp.float32), interpret=interpret
-    )
+    if msgs.dtype not in (jnp.float32, jnp.bfloat16):
+        msgs = msgs.astype(jnp.float32)
+    return segment_sum_pallas(offsets, seg_ids, msgs, interpret=interpret)
 
 
 def _dst_ids_from_offsets(offsets: jnp.ndarray, m_pad: int) -> jnp.ndarray:

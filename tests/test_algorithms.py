@@ -222,3 +222,34 @@ def test_lspar_matches_oracle(random_graph, random_slice):
 def test_lspar_rejects_composite_prime(random_slice):
     with pytest.raises(ValueError):
         lspar(random_slice, prime=1000)
+
+
+# ------------------------------------------------------- connected components
+def test_cc_matches_union_find(random_graph, random_slice):
+    from mini_tpu.algorithms import connected_components, cc_cpu
+
+    res = connected_components(random_slice)
+    expected = cc_cpu(random_graph)
+    np.testing.assert_array_equal(
+        np.asarray(res.components)[: random_graph.n], expected
+    )
+    assert int(res.num_components) == len(np.unique(expected))
+
+
+def test_cc_disconnected_blocks():
+    from mini_tpu.graph import from_edges, GraphSlice
+    from mini_tpu.algorithms import connected_components, cc_cpu
+
+    # 3 disjoint triangles + 2 isolated vertices
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
+             (6, 7), (7, 8), (8, 6)]
+    srcs, dsts = zip(*edges)
+    hg = from_edges(np.array(srcs), np.array(dsts), num_nodes=11,
+                    make_undirected=True)
+    gs = GraphSlice.from_host(hg)
+    res = connected_components(gs)
+    expected = cc_cpu(hg)
+    np.testing.assert_array_equal(
+        np.asarray(res.components)[:11], expected
+    )
+    assert int(res.num_components) == 5
