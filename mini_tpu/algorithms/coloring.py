@@ -51,13 +51,19 @@ def _coloring_impl(g: GraphSlice, key, prime: int, max_iter: int):
         )
         uncolored = (colors == 0) & real
         # neighbor extrema over out-edges, counting only uncolored
-        # neighbors: colored/ghost neighbors carry the reduction identity,
-        # moved dst->CSR-edge gather-free (one expansion + one sort)
-        hmax_v = jnp.where(uncolored, hashs, INT_MIN)
-        hmin_v = jnp.where(uncolored, hashs, INT_MAX)
-        hmax_e, hmin_e = dst_vals_to_csr(g, hmax_v, hmin_v)
-        nb_max = reduce_csr_by_src(g, hmax_e, "max")
-        nb_min = reduce_csr_by_src(g, hmin_e, "min")
+        # neighbors.  One expansion + one single-payload sort: the
+        # uncolored bit packs into the hash (hash*2+unc, hash < 2^30),
+        # both extrema derive from the same permuted array.
+        packed = jnp.where(uncolored, hashs * 2 + 1, hashs * 2)
+        packed_e = dst_vals_to_csr(g, packed)
+        unc_e = (packed_e & 1) == 1
+        hash_e = packed_e >> 1
+        nb_max = reduce_csr_by_src(
+            g, jnp.where(unc_e, hash_e, INT_MIN), "max"
+        )
+        nb_min = reduce_csr_by_src(
+            g, jnp.where(unc_e, hash_e, INT_MAX), "min"
+        )
         is_min = uncolored & (hashs < nb_min)
         is_max = uncolored & (hashs > nb_max) & ~is_min
         colors = jnp.where(is_min, 2 * it + 1, colors)

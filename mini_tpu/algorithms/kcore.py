@@ -26,6 +26,12 @@ import numpy as np
 from mini_tpu.graph.csr import GraphSlice, HostGraph
 from mini_tpu.ops.engine import reduce_csc_by_dst
 from mini_tpu.ops.permute import expand_to_edges, apply_fixed_perm_bit
+from mini_tpu.ops.sparse import (
+    compact_frontier,
+    expand_frontier,
+    frontier_edge_count,
+    default_tiers,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -43,18 +49,52 @@ def _kcore_impl(g: GraphSlice, max_k: int):
     deg0 = g.out_degrees.astype(jnp.int32)
     cores0 = jnp.zeros(n_pad, jnp.int32)
     rank2 = g.csr_to_csc_rank * 2
+    tiers = default_tiers(g)
+
+    def dense_dec(ops):
+        """Per-dst count of in-edges from peeled sources (gather-free
+        sweep; the peel bit rides inside the sort key)."""
+        (peel,) = ops
+        peel_csr = expand_to_edges(
+            peel.astype(jnp.int32), g.row_offsets, g.m_pad
+        )
+        peel_csc = apply_fixed_perm_bit(rank2, peel_csr)
+        return reduce_csc_by_dst(g, peel_csc, "sum")
+
+    def make_sparse_dec(capv, cape):
+        def sparse_dec(ops):
+            """Bounded expansion of the (usually small) peel set —
+            decrement via a capacity-sized scatter-add.  NOTE: expansion
+            uses the ORIGINAL degrees, so edges into already-removed
+            vertices still decrement (their degree goes negative exactly
+            as in the reference's atomicAdd, `kcore/kcore_functor.hxx:34`
+            — identical to the dense sweep's edge set)."""
+            (peel,) = ops
+            idx, cnt = compact_frontier(peel, capv)
+            _, dst, _, valid, _ = expand_frontier(g, idx, cnt, cape)
+            dec_ext = jnp.zeros(n_pad + 1, jnp.int32)
+            dec_ext = dec_ext.at[jnp.where(valid, dst, n_pad)].add(
+                1, mode="drop"
+            )
+            return dec_ext[:n_pad]
+
+        return sparse_dec
+
+    branches = [make_sparse_dec(cv, ce) for cv, ce in tiers] + [dense_dec]
 
     def peel_round(state):
         deg, cores, k, iters = state
         peel = (deg < k) & (deg > 0)
         cores = jnp.where(peel, k - 1, cores)
-        # per-dst count of in-edges from peeled sources (gather-free sweep;
-        # the peel bit rides inside the sort key)
-        peel_csr = expand_to_edges(
-            peel.astype(jnp.int32), g.row_offsets, g.m_pad
-        )
-        peel_csc = apply_fixed_perm_bit(rank2, peel_csr)
-        dec = reduce_csc_by_dst(g, peel_csc, "sum")
+        fe = frontier_edge_count(g, peel)
+        fl = jnp.sum(peel, dtype=jnp.int32)
+        tier_idx = jnp.int32(len(tiers))
+        for i in reversed(range(len(tiers))):
+            cv, ce = tiers[i]
+            tier_idx = jnp.where(
+                (fe <= ce) & (fl <= cv), jnp.int32(i), tier_idx
+            )
+        dec = jax.lax.switch(tier_idx, branches, (peel,))
         deg = jnp.where(peel, 0, deg - dec)
         return deg, cores, k, iters + 1
 
