@@ -35,17 +35,15 @@ def default_tiers(
     dense sweep's vectorized path).
     """
     if max_cape is None:
-        max_cape = max(1024, g.m_pad // 16)
+        max_cape = max(2048, g.m_pad // 64)
     if max_capv is None:
         max_capv = min(g.n_pad, max_cape)
-    tiers = []
-    for cape in (max(1024, max_cape // 16), max(1024, max_cape // 4),
-                 max_cape):
-        cape = min(cape, g.m_pad)
-        capv = min(max_capv, cape, g.n_pad)
-        if (capv, cape) not in tiers:
-            tiers.append((capv, cape))
-    return tiers
+    # ONE sparse tier: every extra lax.switch branch is a separately
+    # compiled loop body, and compile time through the remote toolchain
+    # dwarfs the runtime difference between tier sizes (measured: 1 extra
+    # tier ~= +60 s compile; tier-size runtime delta ~= 0.5 ms/iter)
+    cape = min(max_cape, g.m_pad)
+    return [(min(max_capv, cape, g.n_pad), cape)]
 
 
 def frontier_edge_count(g: GraphSlice, mask: jnp.ndarray) -> jnp.ndarray:
