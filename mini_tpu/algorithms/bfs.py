@@ -181,10 +181,12 @@ def bfs(
         alpha = 1.0 / max(g.n, 1)
     if max_iter is None:
         max_iter = g.n_pad
+    # 0 disables the sparse path; None lets ops/sparse.default_tiers pick
+    # (measured sweet spot ~m/64; see BENCH history)
     if sparse_capv is None:
-        sparse_capv = min(g.n_pad, max(128, g.n_pad // 8))
+        sparse_capv = min(g.n_pad, max(2048, g.m_pad // 64))
     if sparse_cape is None:
-        sparse_cape = min(g.m_pad, max(1024, g.m_pad // 8))
+        sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
     return _bfs_impl(
         g,
         jnp.asarray(src),

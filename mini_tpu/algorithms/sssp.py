@@ -145,10 +145,12 @@ def sssp(
 ) -> SsspResult:
     if max_iter is None:
         max_iter = g.n_pad  # Bellman-Ford converges in <= n-1 rounds
+    # 0 disables the sparse path; None lets ops/sparse.default_tiers pick
+    # (measured sweet spot ~m/64; see BENCH history)
     if sparse_capv is None:
-        sparse_capv = min(g.n_pad, max(128, g.n_pad // 8))
+        sparse_capv = min(g.n_pad, max(2048, g.m_pad // 64))
     if sparse_cape is None:
-        sparse_cape = min(g.m_pad, max(1024, g.m_pad // 8))
+        sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
     return _sssp_impl(
         g, jnp.asarray(src), int(max_iter), int(sparse_capv),
         int(sparse_cape),
