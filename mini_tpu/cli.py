@@ -47,7 +47,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="mini_tpu")
     p.add_argument(
         "algo",
-        choices=["bfs", "sssp", "pr", "coloring", "kcore", "lspar", "gcn"],
+        choices=["bfs", "sssp", "pr", "coloring", "kcore", "lspar",
+                 "cc", "gcn"],
     )
     p.add_argument("--file", default=None)
     p.add_argument("--rmat-scale", type=int, default=None)
@@ -162,6 +163,19 @@ def main(argv=None):
                                   seed=args.seed))
         print(f"selected edges: {int(res.num_selected)} / {hg.m}")
         print(f"elapsed: {t.min_s * 1e3:.3f} ms")
+    elif args.algo == "cc":
+        from mini_tpu.algorithms import connected_components, cc_cpu
+
+        res = connected_components(gs)
+        t = time_fn(lambda: connected_components(gs))
+        print(f"components: {int(res.num_components)}")
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms")
+        if args.validate:
+            ok = validate_exact(
+                np.asarray(res.components)[: hg.n], cc_cpu(hg)
+            )
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
     elif args.algo == "gcn":
         import jax
         import jax.numpy as jnp

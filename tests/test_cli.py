@@ -33,3 +33,8 @@ def test_cli_runs_and_validates(argv, capsys):
 def test_cli_rmat(capsys):
     assert main(["bfs", "--rmat-scale", "8", "--src", "0", "--validate"]) == 0
     assert "Correct." in capsys.readouterr().out
+
+
+def test_cli_cc(capsys):
+    assert main(["cc", "--file", FIXTURE, "--undirected", "--validate"]) == 0
+    assert "Correct." in capsys.readouterr().out
