@@ -63,7 +63,17 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--validate", action="store_true")
     p.add_argument("--repeat", type=int, default=5)
+    p.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the axon env pins JAX_PLATFORMS)",
+    )
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from mini_tpu.utils.timing import time_fn
     from mini_tpu.utils.validate import validate_exact, display_device_data
