@@ -7,5 +7,6 @@ from mini_tpu.parallel.distributed import (  # noqa: F401
     make_mesh,
     shard_to_mesh,
     dist_bfs,
+    dist_sssp,
     dist_spmm,
 )

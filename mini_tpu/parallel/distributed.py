@@ -142,6 +142,64 @@ def dist_bfs(
     return labels.reshape(-1), preds.reshape(-1)
 
 
+def dist_sssp(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    src: int,
+    mesh: Mesh,
+    axis: str = "graph",
+    max_iter: int | None = None,
+):
+    """Distributed Bellman-Ford: distances sharded by dst range; per
+    iteration each shard relaxes its local in-edges against the
+    all-gathered frontier distances (f32 segmented min — deterministic and
+    bitwise-equal to the single-chip path)."""
+    n_pad, n_loc = pg.n_pad, pg.n_loc
+    if max_iter is None:
+        max_iter = n_pad
+    inf = jnp.float32(jnp.inf)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(None)),
+        out_specs=P(axis),
+    )
+    def run(g, dist_loc, dist_masked0):
+        esrc = g.csc_srcs[0]
+        edst = g.csc_dsts_local[0]
+        ew = g.csc_weights[0]
+        emask = g.edge_mask[0]
+        dist_masked0 = jax.lax.pcast(dist_masked0, axis, to="varying")
+
+        def body(state):
+            dist, dist_masked_full, it = state
+            cand = jnp.where(emask, dist_masked_full[esrc] + ew, inf)
+            best = segment_reduce(cand, edst, n_loc, "min")
+            improved = best < dist
+            dist = jnp.minimum(dist, best)
+            masked = jnp.where(improved, dist, inf)
+            full = jax.lax.all_gather(masked, axis, tiled=True)
+            return dist, full, it + 1
+
+        def cond(state):
+            _, full, it = state
+            return jnp.any(jnp.isfinite(full)) & (it < max_iter)
+
+        dist, _, _ = jax.lax.while_loop(
+            cond, body, (dist_loc[0], dist_masked0, jnp.int32(0))
+        )
+        return dist[None]
+
+    dist0 = jnp.full((pg.num_shards, n_loc), inf, jnp.float32)
+    dist0 = dist0.at[src // n_loc, src % n_loc].set(0.0)
+    masked0 = jnp.full(n_pad, inf, jnp.float32).at[src].set(0.0)
+    spec = NamedSharding(mesh, P(axis))
+    dist0 = jax.device_put(dist0, spec)
+    masked0 = jax.device_put(masked0, NamedSharding(mesh, P()))
+    return jax.jit(run)(shards, dist0, masked0).reshape(-1)
+
+
 def dist_spmm(
     pg: PartitionedGraph,
     shards: DeviceShards,

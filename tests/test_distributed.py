@@ -101,3 +101,13 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[0] > 0
     ge.dryrun_multichip(NDEV)
+
+
+def test_dist_sssp_matches_oracle(setup):
+    from mini_tpu.parallel import dist_sssp
+    from mini_tpu.algorithms import sssp_cpu
+
+    hg, mesh, pg, shards = setup
+    dists = dist_sssp(pg, shards, src=0, mesh=mesh)
+    exp, _ = sssp_cpu(hg, 0)
+    np.testing.assert_array_equal(np.asarray(dists)[: hg.n], exp)
