@@ -132,11 +132,14 @@ def kcore(g: GraphSlice) -> KCoreResult:
 
 def kcore_cpu(hg: HostGraph) -> tuple[np.ndarray, int]:
     """NumPy oracle mirroring the reference CPU peeling
-    (`kcore/kcore_problem.hxx:54-105`)."""
+    (`kcore/kcore_problem.hxx:54-105`) — except the k loop runs to
+    max_degree+1 rather than the reference's num_nodes cap
+    (`kcore/kcore_enactor.hxx:45`), which silently under-peels multigraphs
+    whose core numbers exceed n."""
     deg = hg.out_degrees.astype(np.int64).copy()
     cores = np.zeros(hg.n, dtype=np.int32)
     largest = -1
-    for k in range(1, hg.n + 2):
+    for k in range(1, int(max(deg.max(initial=0), 0)) + 2):
         while True:
             peel = (deg < k) & (deg > 0)
             if not peel.any():
