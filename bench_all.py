@@ -65,10 +65,11 @@ def main():
             t = time_fn(fn, warmup=1, repeat=repeat)
             results[name] = {"time_ms": t.min_s * 1e3}
             log(f"{name}: {t.min_s * 1e3:.2f} ms")
-            return t
         except Exception as exc:
             results[name] = {"error": repr(exc)[:200]}
             log(f"{name}: FAILED {exc!r}")
+        with open("BENCH_ALL.json", "w") as f:  # incremental: survive timeouts
+            json.dump(results, f, indent=2)
 
     bench("bfs", lambda: bfs(gs, src))
     bench("sssp", lambda: sssp(gs, src))

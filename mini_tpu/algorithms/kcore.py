@@ -102,6 +102,8 @@ def _kcore_impl(g: GraphSlice, max_k: int):
         deg, _, k, _ = state
         return jnp.any((deg < k) & (deg > 0))
 
+    INT_MAX = jnp.iinfo(jnp.int32).max
+
     def outer_body(state):
         deg, cores, k, largest, iters = state
         deg, cores, _, iters = jax.lax.while_loop(
@@ -110,7 +112,13 @@ def _kcore_impl(g: GraphSlice, max_k: int):
         survivors = jnp.sum((deg >= k).astype(jnp.int32))
         done = survivors == 0
         largest = jnp.where(done, k - 1, largest)
-        return deg, cores, k + 1, largest, iters
+        # level jumping: k values in (k, min surviving degree] peel nothing
+        # (a vertex with degree d first peels at k = d+1), so hop straight
+        # there — identical cores, outer trips drop from max_degree to the
+        # number of distinct occupied degree levels
+        min_deg = jnp.min(jnp.where(deg > 0, deg, INT_MAX))
+        next_k = jnp.maximum(k + 1, jnp.where(done, k + 1, min_deg + 1))
+        return deg, cores, next_k, largest, iters
 
     def outer_cond(state):
         _, _, k, largest, _ = state
