@@ -15,7 +15,12 @@ from mini_tpu.algorithms.coloring import (  # noqa: F401
     validate_coloring,
     ColoringResult,
 )
-from mini_tpu.algorithms.kcore import kcore, kcore_cpu, KCoreResult  # noqa: F401
+from mini_tpu.algorithms.kcore import (  # noqa: F401
+    kcore,
+    kcore_cpu,
+    kcore_cpu_true,
+    KCoreResult,
+)
 from mini_tpu.algorithms.lspar import (  # noqa: F401
     lspar,
     lspar_cpu,

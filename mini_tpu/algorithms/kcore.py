@@ -12,6 +12,22 @@ segment-sum of removed-source edge counts (deterministic, replacing
 atomicAdd); both the peel loop and the outer k loop are on-device
 ``lax.while_loop``s — zero host round-trips.  Degrees carry over between k
 values exactly as the reference's persistent ``d_degrees`` does.
+
+Two variants:
+
+* ``variant="mini"`` — the reference peeling recipe above, bitwise-matched
+  by ``kcore_cpu``.  Note its multigraph artifact (inherited semantics): a
+  vertex whose degree is driven to <= 0 purely by parallel-edge decrements
+  is never peeled (the peel predicate requires ``deg > 0``,
+  `kcore/kcore_functor.hxx:13`), so it keeps core 0.
+* ``variant="hindex"`` (undirected graphs; the ``"auto"`` default picks it)
+  — true core numbers via the h-index fixpoint iteration (Lu et al. 2016):
+  h_0 = degree, h_{t+1}(v) = H({h_t(u) : u ~ v}), converging to coreness.
+  Iteration-count wins are dramatic on power-law graphs: RMAT scale 16
+  needs 33 h-iterations vs 500+ peel rounds.  Each iteration is one
+  expansion (h[src] per CSR edge) + one sort grouping values by dst in
+  descending order + one prefix-sum-difference count of positions with
+  value >= within-segment rank.  Validated against ``kcore_cpu_true``.
 """
 
 from __future__ import annotations
@@ -26,6 +42,7 @@ import numpy as np
 from mini_tpu.graph.csr import GraphSlice, HostGraph
 from mini_tpu.ops.engine import reduce_csc_by_dst
 from mini_tpu.ops.permute import expand_to_edges, apply_fixed_perm_bit
+from mini_tpu.ops.segment import contiguous_segment_sum
 from mini_tpu.ops.sparse import (
     compact_frontier,
     expand_frontier,
@@ -132,7 +149,72 @@ def _kcore_impl(g: GraphSlice, max_k: int):
     return KCoreResult(cores, largest, iters)
 
 
-def kcore(g: GraphSlice) -> KCoreResult:
+@jax.jit
+def _kcore_hindex_impl(g: GraphSlice):
+    n_pad, m_pad = g.n_pad, g.m_pad
+    maxd = int(g.max_out_degree)
+    bits_v = max(1, (maxd + 1).bit_length())
+    bits_n = (n_pad - 1).bit_length()
+    pack32 = bits_n + bits_v <= 31
+
+    # Within-segment 1-based rank per CSC position (groups by dst), gather-
+    # free: iota minus each segment's start expanded to its edges.
+    starts_e = expand_to_edges(
+        g.col_offsets[:-1].astype(jnp.int32), g.col_offsets, m_pad
+    )
+    rank1 = jnp.arange(m_pad, dtype=jnp.int32) - starts_e + 1
+
+    def h_step(h):
+        # h[src] per CSR edge (pure expansion), then one sort grouping by
+        # (dst asc, value desc).  Groups land exactly on the CSC segments
+        # (same per-dst counts), so the static col_offsets/rank apply.
+        val_e = expand_to_edges(h, g.row_offsets, m_pad)
+        if pack32:
+            key = g.csr_dsts * jnp.int32(1 << bits_v) + (
+                jnp.int32(maxd) - val_e
+            )
+            skey = jax.lax.sort(key)
+            sval = jnp.int32(maxd) - (skey & jnp.int32((1 << bits_v) - 1))
+        else:
+            _, sneg = jax.lax.sort(
+                (g.csr_dsts, jnp.int32(maxd) - val_e), num_keys=2
+            )
+            sval = jnp.int32(maxd) - sneg
+        ok = (sval >= rank1).astype(jnp.int32)
+        return contiguous_segment_sum(ok, g.col_offsets)
+
+    def body(state):
+        h, _, it = state
+        newh = h_step(h)
+        return newh, jnp.any(newh != h), it + 1
+
+    def cond(state):
+        _, changed, _ = state
+        return changed
+
+    h0 = g.out_degrees.astype(jnp.int32)
+    h, _, iters = jax.lax.while_loop(
+        cond, body, (h0, jnp.bool_(True), jnp.int32(0))
+    )
+    real = jnp.arange(n_pad) < g.n
+    largest = jnp.max(jnp.where(real, h, 0))
+    return KCoreResult(h, largest, iters)
+
+
+def kcore(g: GraphSlice, variant: str = "auto") -> KCoreResult:
+    """``variant``: "mini" = reference peeling semantics (oracle:
+    ``kcore_cpu``); "hindex" = true core numbers, undirected only (oracle:
+    ``kcore_cpu_true``); "auto" = hindex when undirected else mini."""
+    if variant == "auto":
+        variant = "mini" if g.directed else "hindex"
+    if variant == "hindex":
+        if g.directed:
+            raise ValueError(
+                "variant='hindex' requires an undirected graph (the "
+                "h-index fixpoint equals coreness only when in- and "
+                "out-neighborhoods coincide)"
+            )
+        return _kcore_hindex_impl(g)
     # k never needs to exceed max degree + 1
     max_k = int(np.asarray(g.out_degrees).max()) + 1
     return _kcore_impl(g, max_k)
@@ -161,3 +243,28 @@ def kcore_cpu(hg: HostGraph) -> tuple[np.ndarray, int]:
             largest = k - 1
             break
     return cores, largest
+
+
+def kcore_cpu_true(hg: HostGraph) -> tuple[np.ndarray, int]:
+    """True core numbers (multigraph-aware peeling): at level k remove
+    every live vertex whose degree among LIVE vertices is < k; core = k-1
+    at removal.  Unlike the reference semantics (``kcore_cpu``), edges into
+    already-removed vertices never decrement, so parallel edges cannot
+    drive a degree past 0 and rob a vertex of its core number."""
+    n = hg.n
+    srcs, dsts = hg.csr_srcs, hg.csr_dsts
+    deg = hg.out_degrees.astype(np.int64).copy()
+    alive = np.ones(n, bool)
+    cores = np.zeros(n, np.int32)
+    for k in range(1, int(deg.max(initial=0)) + 2):
+        while True:
+            peel = alive & (deg < k)
+            if not peel.any():
+                break
+            cores[peel] = k - 1
+            alive[peel] = False
+            sel = peel[srcs] & alive[dsts]
+            deg -= np.bincount(dsts[sel], minlength=n)
+        if not alive.any():
+            break
+    return cores, int(cores.max(initial=0))

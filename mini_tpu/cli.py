@@ -61,6 +61,20 @@ def main(argv=None):
     p.add_argument("--prime", type=int, default=999983)
     p.add_argument("--e", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--kcore-variant",
+        choices=["auto", "mini", "hindex"],
+        default="auto",
+        help="kcore algorithm: reference peel semantics (mini) or true "
+        "coreness via the h-index fixpoint (hindex, undirected only)",
+    )
+    p.add_argument(
+        "--hashes-per-round",
+        type=int,
+        default=8,
+        help="coloring: independent hash orders per round (1 = exact "
+        "reference recipe)",
+    )
     p.add_argument("--validate", action="store_true")
     p.add_argument("--repeat", type=int, default=5)
     p.add_argument(
@@ -136,8 +150,20 @@ def main(argv=None):
     elif args.algo == "coloring":
         from mini_tpu.algorithms import coloring, validate_coloring
 
-        res = coloring(gs, prime=args.prime, seed=args.seed)
-        t = time_fn(lambda: coloring(gs, prime=args.prime, seed=args.seed))
+        res = coloring(
+            gs,
+            prime=args.prime,
+            seed=args.seed,
+            hashes_per_round=args.hashes_per_round,
+        )
+        t = time_fn(
+            lambda: coloring(
+                gs,
+                prime=args.prime,
+                seed=args.seed,
+                hashes_per_round=args.hashes_per_round,
+            )
+        )
         colors = np.asarray(res.colors)
         print(
             f"iterations: {int(res.num_iterations)} "
@@ -149,14 +175,21 @@ def main(argv=None):
             print("Correct." if ok else "Validation Error.")
             return 0 if ok else 1
     elif args.algo == "kcore":
-        from mini_tpu.algorithms import kcore, kcore_cpu
+        from mini_tpu.algorithms import kcore, kcore_cpu, kcore_cpu_true
 
-        res = kcore(gs)
-        t = time_fn(lambda: kcore(gs))
+        variant = args.kcore_variant
+        res = kcore(gs, variant=variant)
+        t = time_fn(lambda: kcore(gs, variant=variant))
         print(f"largest k-core: {int(res.largest_k_core)}")
         print(f"elapsed: {t.min_s * 1e3:.3f} ms")
         if args.validate:
-            exp_cores, exp_largest = kcore_cpu(hg)
+            effective = (
+                ("mini" if hg.directed else "hindex")
+                if variant == "auto"
+                else variant
+            )
+            oracle = kcore_cpu if effective == "mini" else kcore_cpu_true
+            exp_cores, exp_largest = oracle(hg)
             ok = (
                 validate_exact(
                     np.asarray(res.num_cores)[: hg.n], exp_cores

@@ -19,6 +19,7 @@ from mini_tpu.algorithms import (
     validate_coloring,
     kcore,
     kcore_cpu,
+    kcore_cpu_true,
     lspar,
     lspar_cpu,
     is_prime,
@@ -139,9 +140,22 @@ def test_coloring_tiny(tiny_graph, tiny_slice):
     assert validate_coloring(np.asarray(res.colors), tiny_graph)
 
 
+@pytest.mark.parametrize("k", [1, 2, 8])
+def test_coloring_hashes_per_round_proper(random_graph, random_slice, k):
+    res = coloring(random_slice, seed=2, hashes_per_round=k)
+    assert validate_coloring(np.asarray(res.colors), random_graph)
+
+
+def test_coloring_more_hashes_fewer_rounds(random_graph, random_slice):
+    r1 = coloring(random_slice, seed=3, hashes_per_round=1)
+    r8 = coloring(random_slice, seed=3, hashes_per_round=8)
+    assert int(r8.num_iterations) < int(r1.num_iterations)
+    assert validate_coloring(np.asarray(r8.colors), random_graph)
+
+
 # -------------------------------------------------------------------- k-core
 def test_kcore_tiny(tiny_graph, tiny_slice):
-    res = kcore(tiny_slice)
+    res = kcore(tiny_slice, variant="mini")
     exp_cores, exp_largest = kcore_cpu(tiny_graph)
     np.testing.assert_array_equal(
         np.asarray(res.num_cores)[: tiny_graph.n], exp_cores
@@ -150,7 +164,7 @@ def test_kcore_tiny(tiny_graph, tiny_slice):
 
 
 def test_kcore_random(random_graph, random_slice):
-    res = kcore(random_slice)
+    res = kcore(random_slice, variant="mini")
     exp_cores, exp_largest = kcore_cpu(random_graph)
     np.testing.assert_array_equal(
         np.asarray(res.num_cores)[: random_graph.n], exp_cores
@@ -174,12 +188,76 @@ def test_kcore_reference_fixture():
         np.array(srcs), np.array(dsts), num_nodes=9, make_undirected=True
     )
     gs = GraphSlice.from_host(hg)
-    res = kcore(gs)
+    res = kcore(gs, variant="mini")
     exp_cores, exp_largest = kcore_cpu(hg)
     np.testing.assert_array_equal(
         np.asarray(res.num_cores)[: hg.n], exp_cores
     )
     assert int(res.largest_k_core) == exp_largest
+
+
+def test_kcore_hindex_true_cores_random_multigraphs():
+    """h-index fixpoint == true coreness on undirected multigraphs
+    (incl. parallel edges and self-loops), against the live-degree
+    peeling oracle."""
+    from mini_tpu.graph import from_edges
+
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        n = rng.randint(3, 40)
+        m = rng.randint(1, 150)
+        hg = from_edges(
+            rng.randint(0, n, m),
+            rng.randint(0, n, m),
+            num_nodes=n,
+            make_undirected=True,
+        )
+        gs = GraphSlice.from_host(hg)
+        res = kcore(gs, variant="hindex")
+        exp_cores, exp_largest = kcore_cpu_true(hg)
+        np.testing.assert_array_equal(
+            np.asarray(res.num_cores)[: hg.n], exp_cores
+        )
+        assert int(res.largest_k_core) == exp_largest
+
+
+def test_kcore_auto_picks_hindex_for_undirected(random_graph, random_slice):
+    res = kcore(random_slice)  # auto -> hindex (fixture is undirected)
+    exp_cores, exp_largest = kcore_cpu_true(random_graph)
+    np.testing.assert_array_equal(
+        np.asarray(res.num_cores)[: random_graph.n], exp_cores
+    )
+    assert int(res.largest_k_core) == exp_largest
+
+
+def test_kcore_hindex_rejects_directed(random_directed_slice):
+    with pytest.raises(ValueError):
+        kcore(random_directed_slice, variant="hindex")
+
+
+def test_kcore_semantics_divergence_documented():
+    """The reference peel semantics rob a vertex of its core number when
+    parallel-edge decrements drive its degree past 0; the hindex variant
+    reports the true coreness.  Pin one such case so the divergence stays
+    deliberate."""
+    from mini_tpu.graph import from_edges
+
+    # v0 -- v1 triple edge, plus v1-v2: peeling v2 at k=2 leaves v1 at
+    # deg 3; peeling v1's side at k=4 drops v0 by 3 in one round: 3 -> 0,
+    # never satisfying 0 < deg < k with deg > 0 afterwards.
+    s = np.array([0, 0, 0, 1, 2])
+    d = np.array([1, 1, 1, 2, 3])
+    hg = from_edges(s, d, num_nodes=4, make_undirected=True)
+    mini_cores, _ = kcore_cpu(hg)
+    true_cores, _ = kcore_cpu_true(hg)
+    gs = GraphSlice.from_host(hg)
+    np.testing.assert_array_equal(
+        np.asarray(kcore(gs, variant="mini").num_cores)[: hg.n], mini_cores
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kcore(gs, variant="hindex").num_cores)[: hg.n],
+        true_cores,
+    )
 
 
 # --------------------------------------------------------------------- L-Spar

@@ -83,7 +83,7 @@ def test_bfs_sssp_kcore_cc_vs_oracles(case):
         np.asarray(sssp(gs, src).dists)[: hg.n], sssp_cpu(hg, src)[0]
     )
     cores, largest = kcore_cpu(hg)
-    res = kcore(gs)
+    res = kcore(gs, variant="mini")
     np.testing.assert_array_equal(
         np.asarray(res.num_cores)[: hg.n], cores
     )
