@@ -33,6 +33,25 @@ def make_mesh(num_devices: int | None = None, axis: str = "graph") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2level(
+    num_slices: int,
+    per_slice: int | None = None,
+    axes: tuple[str, str] = ("dcn", "ici"),
+) -> Mesh:
+    """(DCN, ICI) 2-level mesh: ``num_slices`` pod slices of ``per_slice``
+    chips.  Consecutive device blocks form a slice, so the fast axis is
+    intra-slice — collectives over ``axes[1]`` ride ICI, over ``axes[0]``
+    cross slices on DCN.  Graph shards flatten as
+    ``slice_idx * per_slice + chip_idx`` (``P(axes)`` block order)."""
+    devices = jax.devices()
+    if per_slice is None:
+        per_slice = len(devices) // num_slices
+    devices = devices[: num_slices * per_slice]
+    return Mesh(
+        np.array(devices).reshape(num_slices, per_slice), axes
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceShards:
@@ -48,9 +67,13 @@ class DeviceShards:
 
 
 def shard_to_mesh(
-    pg: PartitionedGraph, mesh: Mesh, axis: str = "graph"
+    pg: PartitionedGraph, mesh: Mesh, axis="graph"
 ) -> DeviceShards:
-    spec = NamedSharding(mesh, P(axis))
+    """``axis`` may be one mesh axis name or a ("dcn", "ici") pair — the
+    leading shard dim then spans both (flat id = dcn_idx * D_ici + ici)."""
+    spec = NamedSharding(
+        mesh, P(axis if isinstance(axis, str) else tuple(axis))
+    )
 
     def put(a):
         return jax.device_put(jnp.asarray(a), spec)

@@ -43,9 +43,10 @@ def gcn_norm_arrays(pg: PartitionedGraph):
 def dist_gcn_train_step_fn(
     pg: PartitionedGraph,
     mesh: Mesh,
-    axis: str = "graph",
+    axis="graph",
     lr: float = 0.05,
     halo_plan=None,
+    overlap: bool = False,
 ):
     """Build the jitted shard_map training step.
 
@@ -53,48 +54,93 @@ def dist_gcn_train_step_fn(
     -> (params, opt, loss); x/labels/mask/self_coeff are [D, n_loc, ...]
     sharded, params/opt/inv_sqrt replicated.  With ``halo_plan`` (see
     parallel/halo.py) the feature exchange is boundary-only all-to-all
-    instead of a full all-gather.
+    instead of a full all-gather; ``overlap=True`` additionally splits the
+    aggregation so the own-edge part runs while the collective is in
+    flight.  ``axis`` may be a ("dcn", "ici") pair for the hierarchical
+    2-level exchange on a 2-level mesh.
     """
+    from mini_tpu.parallel.halo import exchange_slabs
+
     n_loc = pg.n_loc
     D = pg.num_shards
+    axis_t = axis if isinstance(axis, str) else tuple(axis)
     if halo_plan is not None:
         send_idx_h = jnp.asarray(halo_plan.send_idx)
         src_slot_h = jnp.asarray(halo_plan.src_slot)
         H = halo_plan.halo_width
+        if overlap:
+            own_slot_h = jnp.asarray(halo_plan.own_slot)
+            own_dst_h = jnp.asarray(halo_plan.own_dst)
+            own_srcg_h = jnp.asarray(halo_plan.own_src_global)
+            own_mask_h = jnp.asarray(halo_plan.own_mask)
+            halo_slot_h = jnp.asarray(halo_plan.halo_slot)
+            halo_dst_h = jnp.asarray(halo_plan.halo_dst)
+            halo_srcg_h = jnp.asarray(halo_plan.halo_src_global)
+            halo_mask_h = jnp.asarray(halo_plan.halo_mask)
 
     def forward(g: DeviceShards, params, x_loc, inv_sqrt, self_c, shard_id):
         esrc = g.csc_srcs[0]
         edst = g.csc_dsts_local[0]
         emask = g.edge_mask[0]
         # symmetric normalization: w_e = inv_sqrt[src] * inv_sqrt[dst]
-        dst_global = edst + jax.lax.axis_index(axis) * n_loc
+        dst_global = edst + shard_id * n_loc
         ew = jnp.where(
             emask, inv_sqrt[esrc] * inv_sqrt[dst_global], 0.0
         )
+        if halo_plan is not None and overlap:
+            ew_own = jnp.where(
+                own_mask_h[shard_id],
+                inv_sqrt[own_srcg_h[shard_id]]
+                * inv_sqrt[own_dst_h[shard_id] + shard_id * n_loc],
+                0.0,
+            )
+            ew_halo = jnp.where(
+                halo_mask_h[shard_id],
+                inv_sqrt[halo_srcg_h[shard_id]]
+                * inv_sqrt[halo_dst_h[shard_id] + shard_id * n_loc],
+                0.0,
+            )
         h = x_loc
         for i, layer in enumerate(params):
             hw = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
             if halo_plan is None:
-                hw_full = jax.lax.all_gather(hw, axis, tiled=True)
-                msgs = hw_full[esrc] * ew[:, None]
+                hw_full = jax.lax.all_gather(hw, axis_t, tiled=True)
+                agg = segment_reduce(
+                    hw_full[esrc] * ew[:, None], edst, n_loc, "sum"
+                )
+            elif overlap:
+                out_rows = hw[send_idx_h[shard_id].reshape(-1)].reshape(
+                    D, H, -1
+                )
+                halo = exchange_slabs(out_rows, axis_t)
+                # own-edge aggregation reads only hw: no dependency on
+                # the collective, XLA overlaps it with the exchange
+                agg = segment_reduce(
+                    hw[own_slot_h[shard_id]] * ew_own[:, None],
+                    own_dst_h[shard_id], n_loc, "sum",
+                )
+                agg = agg + segment_reduce(
+                    halo.reshape(D * H, -1)[halo_slot_h[shard_id]]
+                    * ew_halo[:, None],
+                    halo_dst_h[shard_id], n_loc, "sum",
+                )
             else:
                 out_rows = hw[send_idx_h[shard_id].reshape(-1)].reshape(
                     D, H, -1
                 )
-                halo = jax.lax.all_to_all(
-                    out_rows, axis, split_axis=0, concat_axis=0,
-                    tiled=True,
-                )
+                halo = exchange_slabs(out_rows, axis_t)
                 buf = jnp.concatenate([halo.reshape(D * H, -1), hw], 0)
-                msgs = buf[src_slot_h[shard_id]] * ew[:, None]
-            agg = segment_reduce(msgs, edst, n_loc, "sum")
+                agg = segment_reduce(
+                    buf[src_slot_h[shard_id]] * ew[:, None],
+                    edst, n_loc, "sum",
+                )
             h = agg + self_c[:, None] * hw + layer["b"]
             if i < len(params) - 1:
                 h = jax.nn.relu(h)
         return h
 
     def step(g, params, opt, x, labels, mask, inv_sqrt, self_c):
-        shard_id = jax.lax.axis_index(axis)
+        shard_id = jax.lax.axis_index(axis_t)
 
         def loss_fn(params):
             logits = forward(
@@ -105,12 +151,12 @@ def dist_gcn_train_step_fn(
                 :, 0
             ]
             nll = jnp.where(mask[0], nll, 0.0)
-            total = jax.lax.psum(jnp.sum(nll), axis)
-            count = jax.lax.psum(jnp.sum(mask[0]), axis)
+            total = jax.lax.psum(jnp.sum(nll), axis_t)
+            count = jax.lax.psum(jnp.sum(mask[0]), axis_t)
             return total / jnp.maximum(count, 1)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.pmean(grads, axis)  # params replicated
+        grads = jax.lax.pmean(grads, axis_t)  # params replicated
         new_opt = jax.tree_util.tree_map(
             lambda m, dw: 0.9 * m + dw, opt, grads
         )
@@ -119,18 +165,19 @@ def dist_gcn_train_step_fn(
         )
         return new_params, new_opt, loss
 
+    row = P(axis_t)
     sharded = functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(axis),  # prefix spec: every DeviceShards leaf
+            row,  # prefix spec: every DeviceShards leaf
             P(),
             P(),
-            P(axis),
-            P(axis),
-            P(axis),
+            row,
+            row,
+            row,
             P(),
-            P(axis),
+            row,
         ),
         out_specs=(P(), P(), P()),
     )
@@ -147,19 +194,21 @@ def dist_gcn_train(
     mask: jnp.ndarray,  # [D, n_loc] sharded
     steps: int = 1,
     lr: float = 0.05,
-    axis: str = "graph",
+    axis="graph",
     halo_plan=None,
+    overlap: bool = False,
 ):
     """Run ``steps`` distributed training steps; returns (params, losses)."""
+    axis_t = axis if isinstance(axis, str) else tuple(axis)
     inv_sqrt, self_c = gcn_norm_arrays(pg)
     repl = NamedSharding(mesh, P())
-    row = NamedSharding(mesh, P(axis))
+    row = NamedSharding(mesh, P(axis_t))
     params = jax.device_put(params, repl)
     opt = jax.tree_util.tree_map(jnp.zeros_like, params)
     inv_sqrt = jax.device_put(inv_sqrt, repl)
     self_c = jax.device_put(self_c, row)
     step = dist_gcn_train_step_fn(
-        pg, mesh, axis=axis, lr=lr, halo_plan=halo_plan
+        pg, mesh, axis=axis, lr=lr, halo_plan=halo_plan, overlap=overlap
     )
     losses = []
     for _ in range(steps):

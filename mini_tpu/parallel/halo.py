@@ -14,6 +14,21 @@ Device side per SpMM: each shard gathers its send rows, one
 ``all_to_all`` moves the halo slabs, and the local segmented aggregation
 reads from [halo | own] — total wire traffic is the boundary set, not the
 full feature matrix.
+
+Two refinements on top of the basic exchange:
+
+* **Collective/compute overlap** (``overlap=True``): edges are split
+  host-side into *own* (source row lives on this shard) and *halo*
+  (source row arrives in the exchange).  The own-edge aggregation reads
+  only local rows, so it has no data dependency on the ``all_to_all`` —
+  XLA's latency-hiding scheduler runs it while the collective is in
+  flight; only the (much smaller) halo-edge aggregation waits.
+* **Hierarchical 2-level exchange** (``axes=("dcn", "ici")``): on a
+  multi-slice mesh the flat D-way all-to-all is replaced by an
+  all-to-all over the slice axis (DCN, messages bundled per slice) then
+  one over the intra-slice axis (ICI), reshaping the sender-major slab
+  layout in between.  Same rows moved, but cross-slice traffic rides DCN
+  in ``D_dcn`` bundled messages instead of ``D`` point-to-point sends.
 """
 
 from __future__ import annotations
@@ -41,6 +56,21 @@ class HaloPlan:
     send_mask: np.ndarray  # bool[D, D, H]
     src_slot: np.ndarray  # int32[D, m_loc]: buffer position per edge
     boundary_rows: int  # total real (unpadded) halo rows
+    # split-edge layout for collective/compute overlap (own = source row
+    # on this shard; halo = source row arrives in the exchange).  Pad
+    # entries carry weight 0 and slot/dst 0.
+    m_own: int = 0
+    m_halo: int = 0
+    own_slot: np.ndarray | None = None  # int32[D, m_own] local row id
+    own_dst: np.ndarray | None = None  # int32[D, m_own] local dst
+    own_w: np.ndarray | None = None  # float32[D, m_own]
+    own_src_global: np.ndarray | None = None  # int32[D, m_own]
+    own_mask: np.ndarray | None = None  # bool[D, m_own]
+    halo_slot: np.ndarray | None = None  # int32[D, m_halo] pos in halo buf
+    halo_dst: np.ndarray | None = None  # int32[D, m_halo]
+    halo_w: np.ndarray | None = None  # float32[D, m_halo]
+    halo_src_global: np.ndarray | None = None  # int32[D, m_halo]
+    halo_mask: np.ndarray | None = None  # bool[D, m_halo]
 
 
 def build_halo_plan(pg: PartitionedGraph, h_multiple: int = 8) -> HaloPlan:
@@ -93,13 +123,91 @@ def build_halo_plan(pg: PartitionedGraph, h_multiple: int = 8) -> HaloPlan:
             slot[sel] = t * H + ranks
         slot[~em] = D * H  # ghost edges read own row 0 (weight 0 anyway)
         src_slot[s] = slot.astype(np.int32)
+
+    # split-edge layout (own vs halo) for collective/compute overlap
+    own_sel = [
+        pg.edge_mask[s]
+        & (pg.csc_srcs[s] >= s * n_loc)
+        & (pg.csc_srcs[s] < (s + 1) * n_loc)
+        for s in range(D)
+    ]
+    halo_sel = [pg.edge_mask[s] & ~own_sel[s] for s in range(D)]
+    m_own = _round_up(max(int(o.sum()) for o in own_sel) or 1, 8)
+    m_halo = _round_up(max(int(h.sum()) for h in halo_sel) or 1, 8)
+    own_slot = np.zeros((D, m_own), np.int32)
+    own_dst = np.zeros((D, m_own), np.int32)
+    own_w = np.zeros((D, m_own), np.float32)
+    own_srcg = np.zeros((D, m_own), np.int32)
+    own_mask = np.zeros((D, m_own), bool)
+    halo_slot = np.zeros((D, m_halo), np.int32)
+    halo_dst = np.zeros((D, m_halo), np.int32)
+    halo_w = np.zeros((D, m_halo), np.float32)
+    halo_srcg = np.zeros((D, m_halo), np.int32)
+    halo_mask = np.zeros((D, m_halo), bool)
+    for s in range(D):
+        o, hsel = own_sel[s], halo_sel[s]
+        no, nh = int(o.sum()), int(hsel.sum())
+        own_slot[s, :no] = pg.csc_srcs[s][o] - s * n_loc
+        own_dst[s, :no] = pg.csc_dsts_local[s][o]
+        own_w[s, :no] = pg.csc_weights[s][o]
+        own_srcg[s, :no] = pg.csc_srcs[s][o]
+        own_mask[s, :no] = True
+        halo_slot[s, :nh] = src_slot[s][hsel]  # positions in the halo buf
+        halo_dst[s, :nh] = pg.csc_dsts_local[s][hsel]
+        halo_w[s, :nh] = pg.csc_weights[s][hsel]
+        halo_srcg[s, :nh] = pg.csc_srcs[s][hsel]
+        halo_mask[s, :nh] = True
+
     return HaloPlan(
         halo_width=H,
         send_idx=send_idx,
         send_mask=send_mask,
         src_slot=src_slot,
         boundary_rows=total_boundary,
+        m_own=m_own,
+        m_halo=m_halo,
+        own_slot=own_slot,
+        own_dst=own_dst,
+        own_w=own_w,
+        own_src_global=own_srcg,
+        own_mask=own_mask,
+        halo_slot=halo_slot,
+        halo_dst=halo_dst,
+        halo_w=halo_w,
+        halo_src_global=halo_srcg,
+        halo_mask=halo_mask,
     )
+
+
+def exchange_slabs(out_rows: jnp.ndarray, axis) -> jnp.ndarray:
+    """Move per-target slabs to their owners inside ``shard_map``.
+
+    ``out_rows`` is [D, H, F] target-major on every shard; the result is
+    [D, H, F] *sender*-major.  ``axis`` is either one mesh axis name (flat
+    D-way ``all_to_all``) or a ("dcn", "ici") pair — then the exchange is
+    hierarchical: one all-to-all over the slice (DCN) axis moving
+    per-slice super-slabs, one over the intra-slice (ICI) axis
+    redistributing within each slice.  Flat target/sender ids are
+    ``dcn_idx * D_ici + ici_idx``, matching ``shard_map`` block order for
+    ``P(("dcn", "ici"))``."""
+    if isinstance(axis, str):
+        return jax.lax.all_to_all(
+            out_rows, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+    a_dcn, a_ici = axis
+    Dd = jax.lax.axis_size(a_dcn)
+    Di = jax.lax.axis_size(a_ici)
+    _, H, F = out_rows.shape
+    x = out_rows.reshape(Dd, Di, H, F)  # [target dcn, target ici, H, F]
+    # phase 1 (DCN): super-slab [Di, H, F] to each slice; axis 0 becomes
+    # the SENDER dcn index
+    x = jax.lax.all_to_all(x, a_dcn, split_axis=0, concat_axis=0,
+                           tiled=True)
+    # phase 2 (ICI): redistribute target-ici rows within the slice; axis 1
+    # becomes the SENDER ici index
+    x = jax.lax.all_to_all(x, a_ici, split_axis=1, concat_axis=1,
+                           tiled=True)
+    return x.reshape(Dd * Di, H, F)  # sender-flat-major
 
 
 def halo_spmm(
@@ -108,27 +216,69 @@ def halo_spmm(
     plan: HaloPlan,
     x: jnp.ndarray,  # [D, n_loc, F] sharded on axis 0
     mesh: Mesh,
-    axis: str = "graph",
+    axis="graph",
+    overlap: bool = False,
 ) -> jnp.ndarray:
-    """Pull-SpMM with boundary-only all-to-all exchange."""
+    """Pull-SpMM with boundary-only all-to-all exchange.
+
+    ``axis`` may be one mesh axis name or a ("dcn", "ici") pair for the
+    hierarchical 2-level exchange.  ``overlap=True`` uses the split-edge
+    layout: the own-edge aggregation has no data dependency on the
+    collective, so XLA overlaps it with the exchange."""
     n_loc = pg.n_loc
     D = pg.num_shards
     H = plan.halo_width
+    spec = P(axis) if isinstance(axis, str) else P(tuple(axis))
+
+    if overlap:
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(spec,) * 8,
+            out_specs=spec,
+        )
+        def run(send_idx, own_slot, own_dst, own_w, halo_slot, halo_dst,
+                halo_w, x_loc):
+            xs = x_loc[0]  # [n_loc, F]
+            out_rows = xs[send_idx[0].reshape(-1)].reshape(D, H, -1)
+            halo = exchange_slabs(out_rows, axis)
+            # local aggregation first: reads only xs, overlaps with the
+            # in-flight collective (pad entries carry weight 0)
+            out = segment_reduce(
+                xs[own_slot[0]] * own_w[0][:, None],
+                own_dst[0], n_loc, "sum",
+            )
+            out = out + segment_reduce(
+                halo.reshape(D * H, -1)[halo_slot[0]]
+                * halo_w[0][:, None],
+                halo_dst[0], n_loc, "sum",
+            )
+            return out[None]
+
+        put = NamedSharding(mesh, spec)
+        return jax.jit(run)(
+            jax.device_put(jnp.asarray(plan.send_idx), put),
+            jax.device_put(jnp.asarray(plan.own_slot), put),
+            jax.device_put(jnp.asarray(plan.own_dst), put),
+            jax.device_put(jnp.asarray(plan.own_w), put),
+            jax.device_put(jnp.asarray(plan.halo_slot), put),
+            jax.device_put(jnp.asarray(plan.halo_dst), put),
+            jax.device_put(jnp.asarray(plan.halo_w), put),
+            x,
+        )
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=(spec,) * 6,
+        out_specs=spec,
     )
     def run(send_idx, src_slot, x_loc, csc_w, edst, emask):
         xs = x_loc[0]  # [n_loc, F]
         # rows this shard sends to every other shard: [D, H, F]
         out_rows = xs[send_idx[0].reshape(-1)].reshape(D, H, -1)
-        # all_to_all: slab d goes to shard d; received[d] = slab FROM d
-        halo = jax.lax.all_to_all(
-            out_rows, axis, split_axis=0, concat_axis=0, tiled=True
-        )  # [D, H, F] with slab t from shard t (t-major)
+        halo = exchange_slabs(out_rows, axis)  # [D, H, F] sender-major
         buf = jnp.concatenate(
             [halo.reshape(D * H, -1), xs], axis=0
         )  # [D*H + n_loc, F]
@@ -138,7 +288,7 @@ def halo_spmm(
         )
         return out[None]
 
-    put = NamedSharding(mesh, P(axis))
+    put = NamedSharding(mesh, spec)
     return jax.jit(run)(
         jax.device_put(jnp.asarray(plan.send_idx), put),
         jax.device_put(jnp.asarray(plan.src_slot), put),

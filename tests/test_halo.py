@@ -71,3 +71,37 @@ def test_halo_is_boundary_only_on_block_graph():
         allgather_rows,
     )
     assert plan.halo_width <= 64
+
+
+def test_halo_overlap_matches_allgather():
+    """Split-edge (own/halo) overlapped aggregation == all-gather path."""
+    hg = erdos_renyi(400, 3000, seed=31, undirected=True, weighted=True)
+    mesh, pg, shards, plan, x, xs = _setup(hg)
+    ref = np.asarray(dist_spmm(pg, shards, xs, mesh))
+    got = np.asarray(halo_spmm(pg, shards, plan, xs, mesh, overlap=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs >= 4 devices for a 2D mesh")
+@pytest.mark.parametrize("overlap", [False, True])
+def test_halo_2level_mesh_matches(overlap):
+    """Hierarchical (dcn, ici) exchange == flat exchange == all-gather."""
+    from mini_tpu.parallel.distributed import make_mesh_2level
+
+    hg = erdos_renyi(400, 3000, seed=13, undirected=True, weighted=True)
+    flat_mesh, pg, shards, plan, x, xs = _setup(hg)
+    ref = np.asarray(dist_spmm(pg, shards, xs, flat_mesh))
+
+    mesh2 = make_mesh_2level(2, NDEV // 2)
+    from mini_tpu.parallel import shard_to_mesh as stm
+
+    axes = ("dcn", "ici")
+    shards2 = stm(pg, mesh2, axis=axes)
+    xs2 = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh2, P(axes))
+    )
+    got = np.asarray(
+        halo_spmm(pg, shards2, plan, xs2, mesh2, axis=axes,
+                  overlap=overlap)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
