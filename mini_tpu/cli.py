@@ -71,7 +71,7 @@ def main(argv=None):
     p.add_argument(
         "--hashes-per-round",
         type=int,
-        default=8,
+        default=16,
         help="coloring: independent hash orders per round (1 = exact "
         "reference recipe)",
     )

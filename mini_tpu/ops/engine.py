@@ -24,6 +24,17 @@ from mini_tpu.ops.permute import (
 from mini_tpu.ops.segment import contiguous_segment_sum
 
 
+def _segreduce(g, edge_vals, seg_ids, offsets, op, ident, max_seg_len):
+    # NOTE: a Pallas broadcast-compare segmented min/max/bor kernel exists
+    # (ops/pallas/segreduce_kernel.py) but measured 16 ms vs this scan's
+    # 2 ms at 4M edges on v5e (the m x 128 row-compare is VPU-bound and
+    # its 8 KB chunk DMAs are latency-bound), so the scan stays the
+    # production path.
+    return segmented_scan_reduce(
+        edge_vals, seg_ids, offsets, op, ident, max_seg_len=max_seg_len
+    )
+
+
 def src_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
     """per-edge value[src(e)] in CSC order: expand along CSR (sorted by
     src), then switch order with the static-rank sort.  Extra arrays ride
@@ -78,9 +89,9 @@ def reduce_csc_by_dst(
         if identity is None
         else jnp.asarray(identity, edge_vals.dtype)
     )
-    return segmented_scan_reduce(
-        edge_vals, g.csc_dsts, g.col_offsets, op, ident,
-        max_seg_len=g.max_in_degree,
+    return _segreduce(
+        g, edge_vals, g.csc_dsts, g.col_offsets, op, ident,
+        g.max_in_degree,
     )
 
 
@@ -104,7 +115,7 @@ def reduce_csr_by_src(
         if identity is None
         else jnp.asarray(identity, edge_vals.dtype)
     )
-    return segmented_scan_reduce(
-        edge_vals, g.csr_srcs, g.row_offsets, op, ident,
-        max_seg_len=g.max_out_degree,
+    return _segreduce(
+        g, edge_vals, g.csr_srcs, g.row_offsets, op, ident,
+        g.max_out_degree,
     )

@@ -105,7 +105,13 @@ def segmented_scan_reduce(
     ``max_seg_len`` (static) bounds the scan depth — pass the graph's max
     degree to cut steps from log2(m) to log2(max_deg).
     """
-    fn = {"min": jnp.minimum, "max": jnp.maximum, "sum": jnp.add}[op]
+    fn = {
+        "min": jnp.minimum,
+        "max": jnp.maximum,
+        "sum": jnp.add,
+        "bor": jnp.bitwise_or,  # bitwise OR: one scan reduces up to 32
+        # independent boolean channels packed into an int32/uint32 lane
+    }[op]
     m = vals.shape[0]
     if max_seg_len is None:
         max_seg_len = m

@@ -146,6 +146,20 @@ def test_coloring_hashes_per_round_proper(random_graph, random_slice, k):
     assert validate_coloring(np.asarray(res.colors), random_graph)
 
 
+def test_coloring_generic_k_path_matches_fast(random_graph, random_slice):
+    """The generic (sort-based) K>1 path — used when the fast path's
+    in/out slot equivalence doesn't hold — stays proper and agrees with
+    the fast path on round count order of magnitude."""
+    import jax as _jax
+    from mini_tpu.algorithms.coloring import _coloring_impl
+
+    res = _coloring_impl(
+        random_slice, _jax.random.PRNGKey(2), 1000003,
+        2 * random_graph.n, 8,
+    )
+    assert validate_coloring(np.asarray(res.colors), random_graph)
+
+
 def test_coloring_more_hashes_fewer_rounds(random_graph, random_slice):
     r1 = coloring(random_slice, seed=3, hashes_per_round=1)
     r8 = coloring(random_slice, seed=3, hashes_per_round=8)

@@ -86,3 +86,58 @@ def test_segment_sum_pallas_empty_and_hub_segments():
         got[9], msgs[hub_edges : hub_edges + 5].sum(0), rtol=1e-5
     )
     assert np.all(got[:7] == 0) and np.all(got[10 : n_pad - 1] == 0)
+
+
+# ---------------------------------------------------- scalar segmented reduce
+@pytest.mark.parametrize(
+    "op,dtype",
+    [
+        ("min", np.float32),
+        ("max", np.float32),
+        ("sum", np.float32),
+        ("min", np.int32),
+        ("max", np.uint32),
+        ("bor", np.uint32),
+        ("sum", np.int32),
+    ],
+)
+def test_segreduce_kernel_interpret(op, dtype):
+    """Scalar segmented min/max/sum/bitwise-or kernel vs a NumPy oracle
+    (interpret mode), including empty segments and chunk-crossing hubs."""
+    from mini_tpu.ops.pallas.segreduce_kernel import (
+        segment_reduce_pallas,
+        _default_identity,
+    )
+
+    rng = np.random.RandomState(hash((op, dtype.__name__)) % 2**31)
+    n_pad, m_pad = 256, 1024
+    # hub-heavy segment layout: one vertex owns half the edges
+    parts = np.concatenate(
+        [np.full(m_pad // 2, 17), rng.randint(0, n_pad, m_pad // 2)]
+    )
+    dsts = np.sort(parts).astype(np.int32)
+    offsets = np.searchsorted(dsts, np.arange(n_pad + 1)).astype(np.int32)
+    if dtype == np.float32:
+        vals = (rng.rand(m_pad).astype(dtype) * 100 - 50)
+    else:
+        vals = rng.randint(0, 1 << 16, m_pad).astype(dtype)
+    got = np.asarray(
+        segment_reduce_pallas(
+            jnp.asarray(offsets), jnp.asarray(dsts), jnp.asarray(vals),
+            op, interpret=True,
+        )
+    )
+    fn = {
+        "min": np.minimum, "max": np.maximum, "sum": np.add,
+        "bor": np.bitwise_or,
+    }[op]
+    ident = _default_identity(op, jnp.asarray(vals).dtype)
+    exp = np.full(n_pad, ident, dtype=dtype)
+    for v in range(n_pad):
+        seg = vals[offsets[v]: offsets[v + 1]]
+        if len(seg):
+            exp[v] = fn.reduce(seg)
+    if op == "sum" and dtype == np.float32:
+        np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-4)
+    else:
+        np.testing.assert_array_equal(got, exp)
