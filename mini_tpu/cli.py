@@ -62,6 +62,14 @@ def main(argv=None):
     p.add_argument("--e", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--queue-sizing",
+        type=float,
+        default=None,
+        help="sparse-frontier capacity as a fraction of m (the reference's "
+        "frontier-capacity multiplier, tests/test_utils.hxx via "
+        "--queue-sizing); default lets the tier builder pick ~m/64",
+    )
+    p.add_argument(
         "--kcore-variant",
         choices=["auto", "mini", "hindex"],
         default="auto",
@@ -94,12 +102,19 @@ def main(argv=None):
 
     hg, gs = _load(args)
     print(f"graph: n={hg.n} m={hg.m} (padded {gs.n_pad}/{gs.m_pad})")
+    qs_cap = (
+        None
+        if args.queue_sizing is None
+        else max(2048, int(gs.m_pad * args.queue_sizing))
+    )
 
     if args.algo == "bfs":
         from mini_tpu.algorithms import bfs, bfs_cpu
 
-        res = bfs(gs, args.src, alpha=args.alpha)
-        t = time_fn(lambda: bfs(gs, args.src, alpha=args.alpha))
+        res = bfs(gs, args.src, alpha=args.alpha, sparse_capv=qs_cap,
+                  sparse_cape=qs_cap)
+        t = time_fn(lambda: bfs(gs, args.src, alpha=args.alpha,
+                                sparse_capv=qs_cap, sparse_cape=qs_cap))
         reached = np.asarray(res.labels) >= 0
         edges = hg.out_degrees[reached[: hg.n]].sum()
         print(
@@ -117,8 +132,9 @@ def main(argv=None):
     elif args.algo == "sssp":
         from mini_tpu.algorithms import sssp, sssp_cpu
 
-        res = sssp(gs, args.src)
-        t = time_fn(lambda: sssp(gs, args.src))
+        res = sssp(gs, args.src, sparse_capv=qs_cap, sparse_cape=qs_cap)
+        t = time_fn(lambda: sssp(gs, args.src, sparse_capv=qs_cap,
+                                 sparse_cape=qs_cap))
         reached = np.isfinite(np.asarray(res.dists))
         edges = hg.out_degrees[reached[: hg.n]].sum() * int(
             res.num_iterations

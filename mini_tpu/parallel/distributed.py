@@ -257,3 +257,129 @@ def dist_spmm(
 
     w_arg = weights if weights is not None else jnp.zeros((1,))
     return jax.jit(run)(shards, x, w_arg)
+
+
+def dist_pagerank(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    mesh: Mesh,
+    axis: str = "graph",
+    damping: float = 0.85,
+    tol_rel: float = 0.001,
+    max_iter: int = 100,
+):
+    """Distributed standard PageRank: ranks sharded by dst range; per
+    iteration each shard sums in-neighbor contributions locally after one
+    all-gather of the (rank/out_degree) contribution vector — the direct
+    distribution of the single-chip ``algorithms/pagerank.py`` standard
+    variant (same update, same freeze-on-convergence semantics)."""
+    n_pad, n_loc, n = pg.n_pad, pg.n_loc, pg.n
+    D = pg.num_shards
+    inv_n = 1.0 / n
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    def run(g, ranks_loc, real_loc):
+        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        out_deg = g.out_degrees[0].astype(jnp.float32)
+        real = real_loc[0]
+
+        def body(state):
+            ranks, active, it = state
+            contrib = jnp.where(out_deg > 0, ranks / out_deg, 0.0)
+            contrib_full = jax.lax.all_gather(contrib, axis, tiled=True)
+            reduced = segment_reduce(
+                jnp.where(emask, contrib_full[esrc], 0.0), edst, n_loc,
+                "sum",
+            )
+            dangling = jax.lax.psum(
+                jnp.sum(jnp.where(real & (out_deg == 0), ranks, 0.0)),
+                axis,
+            )
+            new = (1.0 - damping) * inv_n + damping * (
+                reduced + dangling * inv_n
+            )
+            new = jnp.where(real, new, 0.0)
+            new = jnp.where(active, new, ranks)
+            moved = jnp.abs(new - ranks) > tol_rel * jnp.abs(ranks)
+            return new, active & moved & real, it + 1
+
+        def cond(state):
+            _, active, it = state
+            return (
+                jax.lax.psum(jnp.sum(active.astype(jnp.int32)), axis) > 0
+            ) & (it < max_iter)
+
+        ranks0 = jnp.where(real, jnp.float32(inv_n), 0.0)
+        ranks, _, it = jax.lax.while_loop(
+            cond, body, (ranks0, real, jnp.int32(0))
+        )
+        return ranks[None], it
+
+    real = (jnp.arange(n_pad) < n).reshape(D, n_loc)
+    spec = NamedSharding(mesh, P(axis))
+    ranks0 = jax.device_put(jnp.zeros((D, n_loc), jnp.float32), spec)
+    real = jax.device_put(real, spec)
+    ranks, it = jax.jit(run)(shards, ranks0, real)
+    return ranks.reshape(-1), it
+
+
+def dist_cc(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    mesh: Mesh,
+    axis: str = "graph",
+    max_iter: int | None = None,
+):
+    """Distributed connected components (weakly connected for directed
+    input): min-label propagation over in-edges with the label vector
+    all-gathered per round.  Converges to the same fixpoint as the
+    single-chip ``algorithms/cc.py`` (min vertex id per component)."""
+    n_pad, n_loc, n = pg.n_pad, pg.n_loc, pg.n
+    D = pg.num_shards
+    if max_iter is None:
+        max_iter = n_pad
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    def run(g, labels_loc):
+        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+
+        def body(state):
+            labels, _, it = state
+            full = jax.lax.all_gather(labels, axis, tiled=True)
+            nb_min = segment_reduce(
+                jnp.where(emask, full[esrc], big), edst, n_loc, "min"
+            )
+            new = jnp.minimum(labels, nb_min)
+            changed = jax.lax.psum(
+                jnp.sum((new != labels).astype(jnp.int32)), axis
+            )
+            return new, changed, it + 1
+
+        def cond(state):
+            _, changed, it = state
+            return (changed > 0) & (it < max_iter)
+
+        labels, _, it = jax.lax.while_loop(
+            cond, body, (labels_loc[0], jnp.int32(1), jnp.int32(0))
+        )
+        return labels[None], it
+
+    shard_id = jnp.arange(D, dtype=jnp.int32)[:, None]
+    labels0 = shard_id * n_loc + jnp.arange(n_loc, dtype=jnp.int32)[None, :]
+    spec = NamedSharding(mesh, P(axis))
+    labels0 = jax.device_put(labels0, spec)
+    labels, it = jax.jit(run)(shards, labels0)
+    return labels.reshape(-1), it

@@ -111,3 +111,27 @@ def test_dist_sssp_matches_oracle(setup):
     dists = dist_sssp(pg, shards, src=0, mesh=mesh)
     exp, _ = sssp_cpu(hg, 0)
     np.testing.assert_array_equal(np.asarray(dists)[: hg.n], exp)
+
+
+def test_dist_pagerank_matches_single_chip(setup):
+    from mini_tpu.graph import GraphSlice
+    from mini_tpu.parallel.distributed import dist_pagerank
+    from mini_tpu.algorithms import pagerank
+
+    hg, mesh, pg, shards = setup
+    gs = GraphSlice.from_host(hg)
+    ref = np.asarray(pagerank(gs, variant="standard").ranks)[: hg.n]
+    got, it = dist_pagerank(pg, shards, mesh)
+    assert int(it) > 1
+    np.testing.assert_allclose(
+        np.asarray(got)[: hg.n], ref, rtol=1e-4, atol=1e-7
+    )
+
+
+def test_dist_cc_matches_oracle(setup):
+    from mini_tpu.parallel.distributed import dist_cc
+    from mini_tpu.algorithms import cc_cpu
+
+    hg, mesh, pg, shards = setup
+    got, it = dist_cc(pg, shards, mesh)
+    np.testing.assert_array_equal(np.asarray(got)[: hg.n], cc_cpu(hg))
