@@ -7,10 +7,16 @@ minwise hash; (2) advance writes per-edge sim = (minhash[src]==minhash[dst]);
 descending; (4) advance tags the top-⌊deg^e⌋ edges per vertex;
 (5) ``transform_compact`` gathers the selected edges.
 
-TPU re-design: the per-vertex segmented sort becomes ONE global stable sort
-keyed by (src, -sim) — segments stay contiguous, so the within-segment rank
-is just ``position - row_offset`` — and the tag+compact steps become a mask.
-The universal hash family ``(b + a*i) mod p`` and the host-side primality
+TPU re-design: no sort and no per-edge gather at all.  Similarities are
+binary, so an edge's rank under the stable (sim descending) segmented sort
+is a PREFIX COUNT: ``sim==1`` edges rank by the number of earlier sim-1
+edges in their segment, ``sim==0`` edges by (segment's sim-1 total + number
+of earlier sim-0 edges) — all computable from one global cumsum of sims
+plus per-vertex boundary reads (n-sized, cheap).  Per-edge hash/minwise
+values move via the gather-free engine (expansion + the static CSR<->CSC
+permutation); the tag+compact steps are a mask in native CSR order, so the
+reference's final ``transform_compact`` scatter disappears too.  The
+universal hash family ``(b + a*i) mod p`` and the host-side primality
 check match the reference (`lspar/lspar_problem.hxx:58-93`).
 """
 
@@ -24,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mini_tpu.graph.csr import GraphSlice, HostGraph
-from mini_tpu.ops.segment import segment_reduce
+from mini_tpu.ops.engine import dst_vals_to_csr, reduce_csr_by_src
+from mini_tpu.ops.permute import expand_to_edges
 
 
 @jax.tree_util.register_dataclass
@@ -53,32 +60,45 @@ def is_prime(number: int) -> bool:
 
 @jax.jit
 def _lspar_impl(g: GraphSlice, hashs, thresholds):
-    n_pad, m_pad = g.n_pad, g.m_pad
-    esrc, edst, emask = g.csr_srcs, g.csr_dsts, g.edge_mask
+    m_pad = g.m_pad
+    emask = g.edge_mask
+    INT_MAX = jnp.iinfo(jnp.int32).max
 
-    # (1) minwise hash over out-neighbors
-    minwise = segment_reduce(
-        hashs[edst], esrc, n_pad, "min", mask=emask
+    # (1) minwise hash over out-neighbors: hash[dst] per CSR edge rides
+    # the engine (expansion + the one static permutation), masked min
+    hash_dst_e = dst_vals_to_csr(g, hashs)
+    minwise = reduce_csr_by_src(
+        g, jnp.where(emask, hash_dst_e, INT_MAX), "min"
     )
-    # (2) per-edge similarity
-    sims = jnp.where(
-        emask & (minwise[esrc] == minwise[edst]), 1, 0
-    ).astype(jnp.int32)
-    # (3) stable global sort by (src, sim desc) — segments stay contiguous.
-    # int32 key: src*2 + (1-sim) needs n_pad < 2^30 (graphs beyond that
-    # exceed single-chip HBM anyway).
-    key = esrc * 2 + (1 - sims)
-    order = jnp.argsort(key, stable=True)
-    src_sorted = esrc[order]
-    # (4) within-segment rank + threshold tag
-    rank = jnp.arange(m_pad, dtype=jnp.int32) - g.row_offsets[src_sorted]
-    sel_sorted = (rank < thresholds[src_sorted]) & emask[order]
-    # (5) map the selection back to CSR edge ids (compact step)
-    selected = jnp.zeros(m_pad, jnp.bool_).at[order].set(sel_sorted)
+    # (2) per-edge similarity: minwise[src] is a pure expansion,
+    # minwise[dst] one more permutation
+    mw_src_e = expand_to_edges(minwise, g.row_offsets, m_pad)
+    mw_dst_e = dst_vals_to_csr(g, minwise)
+    sims = (emask & (mw_src_e == mw_dst_e)).astype(jnp.int32)
+
+    # (3+4+5) stable (src, sim desc) rank WITHOUT sorting: with binary
+    # sims the sorted rank is a prefix count.  One global cumsum gives
+    # sim-1 prefix counts; per-vertex boundary reads (n-sized gathers are
+    # cheap) give each segment's start offsets and sim-1 totals.
+    c1 = jnp.cumsum(sims)  # inclusive prefix of sim-1 edges
+    c1_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), c1])
+    off = g.row_offsets.astype(jnp.int32)
+    start_c1 = c1_ext[off[:-1]]  # sim-1 edges before each segment
+    n1 = c1_ext[off[1:]] - start_c1  # sim-1 edges per segment
+    p1 = (c1 - sims) - expand_to_edges(start_c1, g.row_offsets, m_pad)
+    local = jnp.arange(m_pad, dtype=jnp.int32) - expand_to_edges(
+        off[:-1], g.row_offsets, m_pad
+    )
+    rank_sorted = jnp.where(
+        sims == 1, p1, expand_to_edges(n1, g.row_offsets, m_pad)
+        + (local - p1)
+    )
+    thr_e = expand_to_edges(thresholds, g.row_offsets, m_pad)
+    selected = (rank_sorted < thr_e) & emask
     return LsparResult(
         selected_mask=selected,
         sims=sims,
-        num_selected=jnp.sum(sel_sorted.astype(jnp.int32)),
+        num_selected=jnp.sum(selected.astype(jnp.int32)),
     )
 
 
