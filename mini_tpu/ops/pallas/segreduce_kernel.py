@@ -69,7 +69,8 @@ def _fold_lanes(x, fn):
 
 
 def _segreduce_kernel(
-    offsets_ref,  # SMEM int32[n_pad+1] (scalar prefetch)
+    bounds_ref,  # SMEM int32[n_tiles+1]: offsets at ROW_TILE boundaries
+    # (the full offsets array overflows 1 MB SMEM past n ~ 260K)
     vals_hbm,  # ANY [m_pad // EDGE_CHUNK, SUB_ROWS, 128]
     dsts_hbm,  # ANY int32[m_pad // EDGE_CHUNK, SUB_ROWS, 128]
     out_ref,  # VMEM [TILES_PER_BLOCK, ROW_TILE]
@@ -100,12 +101,12 @@ def _segreduce_kernel(
         )
 
     for t in range(TILES_PER_BLOCK):
-        v0 = (i * TILES_PER_BLOCK + t) * ROW_TILE
-        # trailing partial block: clamp offset reads; start==end skips
-        lo = jnp.minimum(v0, n_pad)
-        hi = jnp.minimum(v0 + ROW_TILE, n_pad)
-        start = offsets_ref[lo]
-        end = offsets_ref[hi]
+        tg = i * TILES_PER_BLOCK + t
+        v0 = tg * ROW_TILE
+        # trailing partial block: clamp bound reads; start==end skips
+        n_tiles = n_pad // ROW_TILE
+        start = bounds_ref[jnp.minimum(tg, n_tiles)]
+        end = bounds_ref[jnp.minimum(tg + 1, n_tiles)]
         c0 = start // EDGE_CHUNK
         c1 = pl.cdiv(end, EDGE_CHUNK)
 
@@ -217,7 +218,7 @@ def _segment_reduce_pallas(
         ),
         interpret=interpret,
     )(
-        offsets.astype(jnp.int32),
+        offsets.astype(jnp.int32)[::ROW_TILE],
         vals.reshape(m_pad // EDGE_CHUNK, SUB_ROWS, 128),
         dsts.reshape(m_pad // EDGE_CHUNK, SUB_ROWS, 128).astype(jnp.int32),
     )

@@ -32,7 +32,9 @@ N_BUF = 2  # double buffering
 
 
 def _segsum_kernel(
-    offsets_ref,  # SMEM int32[n_pad+1] (scalar prefetch)
+    bounds_ref,  # SMEM int32[n_tiles+1]: offsets at ROW_TILE boundaries
+    # (prefetching the full offsets array overflows the 1 MB SMEM past
+    # n ~ 260K; the kernel only ever reads tile-boundary offsets)
     msgs_hbm,  # ANY  float32[m_pad, F]
     dsts_hbm,  # ANY  int32[m_pad // EDGE_CHUNK, EDGE_CHUNK]
     out_ref,  # VMEM float32[ROW_TILE, F]
@@ -42,8 +44,8 @@ def _segsum_kernel(
 ):
     i = pl.program_id(0)
     v0 = i * ROW_TILE
-    start = offsets_ref[v0]
-    end = offsets_ref[v0 + ROW_TILE]
+    start = bounds_ref[i]
+    end = bounds_ref[i + 1]
     c0 = start // EDGE_CHUNK
     c1 = pl.cdiv(end, EDGE_CHUNK)  # exclusive chunk bound
 
@@ -149,7 +151,7 @@ def segment_sum_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(offsets.astype(jnp.int32), msgs, dsts2d)
+    )(offsets.astype(jnp.int32)[::ROW_TILE], msgs, dsts2d)
 
 
 def spmm_pallas(
