@@ -1,0 +1,249 @@
+"""Static banded edge layout for the fast SpMM gather path.
+
+Measured on TPU v5e (2026-08-19, scratch/bench_gather*.py): an XLA gather
+of 2M rows x 128 lanes costs ~24 ms (~10 ns/row) when the table exceeds
+on-chip capacity, but ~6.8 ms when the table is <= ~16 MB — and the fast
+path also holds when the big table is SLICED inside the jit, as long as
+each gather's index array only addresses one slice.  So the pull-SpMM
+message gather (`msgs[e] = w[e] * x[srcs[e]]`, the TPU re-expression of
+moderngpu's `transform_lbs` feeding `lbs_segreduce`,
+`/root/reference/gunrock/src/neighborhood.hxx:27-58`) is restructured as a
+*banded* gather:
+
+* vertices are cut into K bands of ``band_rows`` rows each, sized so one
+  band of features stays under the fast-path table limit;
+* edges (in CSC order: sorted by dst, contiguous segments) are statically
+  re-grouped by the band of their SOURCE, preserving the (dst, src) sort
+  within each band;
+* at run time the SpMM does K fast gathers (one per band slice of x) and
+  the Pallas segment-sum kernel folds the K dst-sorted message streams
+  into one output, using per-band offset staircases (no per-edge dst
+  array at all).
+
+Everything here is host-side NumPy, computed once per graph and cached by
+the GraphSlice fingerprint; the device arrays enter jitted programs as
+constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+ROW_TILE = 128  # output rows per kernel grid step
+EDGE_CHUNK = 512  # edges per kernel DMA/matmul chunk
+FAST_TABLE_BYTES = 16 * 1024 * 1024  # measured fast-gather table ceiling
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class BandedLayout:
+    """One direction's banded edge layout (host arrays; see module doc).
+
+    ``pull`` layouts band by source vertex over CSC order (segments = dst);
+    ``push`` layouts band by destination over CSR order (segments = src).
+    """
+
+    direction: str  # "pull" | "push"
+    band_rows: int
+    n_pad: int
+    m_pad: int  # original (unbanded) padded edge count
+    # per band (lists of length K):
+    ids: list  # np.int32[mk_pad] — band-local gather indices
+    weights: list  # np.float32[mk_pad] — graph edge weights, banded order
+    lens: list  # int: un-padded edge count per band
+    # kernel metadata:
+    bounds: np.ndarray  # int32[K, n_tiles+1] — per-band tile edge bounds
+    offs2d: np.ndarray  # int32[K, n_tiles, ROW_TILE] — per-dst offsets
+    # CSC/CSR position -> flat banded position (for dynamic per-edge
+    # values riding the layout via one static-rank sort):
+    banded_rank: np.ndarray  # int32[m_pad]
+    eids: list  # np.int32[mk_pad] — original edge id per banded slot
+    w_binary: bool = False  # all graph edge weights in {0, 1}: a bf16
+    # multiply is then exact, enabling the split-before-gather fast path
+
+    # device-array cache (filled lazily)
+    _dev: Optional[dict] = None
+
+    @property
+    def K(self) -> int:
+        return len(self.ids)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_pad // ROW_TILE
+
+    @property
+    def total_padded(self) -> int:
+        return int(sum(len(i) for i in self.ids))
+
+    def dev(self) -> dict:
+        """jnp versions of the layout arrays (cached)."""
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = dict(
+                ids=[jnp.asarray(i) for i in self.ids],
+                weights=[jnp.asarray(w) for w in self.weights],
+                bounds=jnp.asarray(self.bounds),
+                offs2d=jnp.asarray(self.offs2d),
+                banded_rank=jnp.asarray(self.banded_rank),
+            )
+        return self._dev
+
+    def permute_to_bands(self, edge_vals):
+        """Reorder per-edge values (in this layout's base order: CSC for
+        pull, CSR for push) into the banded order, returning the list of
+        per-band arrays.  One static-rank ``lax.sort`` — jit-safe."""
+        import jax.numpy as jnp
+
+        from mini_tpu.ops.permute import apply_fixed_perm
+
+        total = self.total_padded
+        rank = self.dev()["banded_rank"]
+        padded = jnp.concatenate(
+            [edge_vals,
+             jnp.zeros(total - edge_vals.shape[0], edge_vals.dtype)]
+        )
+        flat = apply_fixed_perm(rank, padded)
+        out, pos = [], 0
+        for i in self.ids:
+            out.append(flat[pos: pos + len(i)])
+            pos += len(i)
+        return out
+
+
+def build_banded_layout(
+    offsets: np.ndarray,  # int[n_pad+1] segment offsets (CSC for pull)
+    gather_ids: np.ndarray,  # int32[m_pad] source-of-message per edge
+    weights: np.ndarray,  # float32[m_pad]
+    edge_valid: np.ndarray,  # bool[m_pad] — False for ghost/pad edges
+    band_rows: int,
+    direction: str,
+) -> BandedLayout:
+    """Group edges by gather-id band, preserving segment order within each
+    band.  Pad/ghost edges keep weight 0 and id 0 so they are no-ops."""
+    n_pad = offsets.shape[0] - 1
+    m_pad = gather_ids.shape[0]
+    assert n_pad % ROW_TILE == 0
+    band_rows = min(_round_up(band_rows, ROW_TILE), n_pad)
+    K = (n_pad + band_rows - 1) // band_rows
+
+    offsets = offsets.astype(np.int64)
+    gid = gather_ids.astype(np.int64)
+    # segment id of every edge (offsets are for contiguous sorted segments)
+    seg = np.repeat(np.arange(n_pad), np.diff(offsets))
+    band = gid // band_rows
+    band = np.where(edge_valid, band, K - 1)  # pad edges -> last band
+
+    ids, w_b, lens, eids = [], [], [], []
+    bounds = np.zeros((K, n_pad // ROW_TILE + 1), np.int32)
+    offs2d = np.zeros((K, n_pad // ROW_TILE, ROW_TILE), np.int32)
+    banded_rank = np.empty(m_pad, np.int64)
+    flat_base = 0
+    for k in range(K):
+        sel = band == k  # CSC order is (dst, src)-sorted; filtering keeps it
+        idx = np.nonzero(sel)[0]
+        mk = int(idx.shape[0])
+        mk_pad = max(_round_up(mk, EDGE_CHUNK), EDGE_CHUNK)
+        local = (gid[idx] - k * band_rows).astype(np.int32)
+        local = np.where(edge_valid[idx], local, 0).astype(np.int32)
+        wk = np.where(edge_valid[idx], weights[idx], 0.0).astype(np.float32)
+        pad = mk_pad - mk
+        ids.append(np.concatenate([local, np.zeros(pad, np.int32)]))
+        w_b.append(np.concatenate([wk, np.zeros(pad, np.float32)]))
+        eids.append(
+            np.concatenate([idx.astype(np.int32),
+                            np.zeros(pad, np.int32)])
+        )
+        lens.append(mk)
+        # per-dst offsets within this band's stream
+        cnt = np.bincount(seg[idx], minlength=n_pad)
+        offk = np.zeros(n_pad + 1, np.int64)
+        np.cumsum(cnt, out=offk[1:])
+        bounds[k] = offk[::ROW_TILE].astype(np.int32)
+        offs2d[k] = offk[:n_pad].reshape(-1, ROW_TILE).astype(np.int32)
+        banded_rank[idx] = flat_base + np.arange(mk)
+        flat_base += mk_pad
+
+    # pad slots of the rank map: point unused CSC positions nowhere —
+    # there are none (every m_pad position got a band); padding slots in
+    # the FLAT banded stream are the ranks not assigned, which
+    # apply_fixed_perm fills from the zero-padded input tail.
+    used = np.zeros(flat_base, bool)
+    used[banded_rank] = True
+    free = np.nonzero(~used)[0]
+    # ranks for the (total_padded - m_pad) zero-fill tail entries
+    banded_rank_full = np.concatenate([banded_rank, free]).astype(np.int32)
+
+    return BandedLayout(
+        direction=direction,
+        band_rows=band_rows,
+        n_pad=n_pad,
+        m_pad=m_pad,
+        ids=ids,
+        weights=w_b,
+        lens=lens,
+        bounds=bounds,
+        offs2d=offs2d,
+        banded_rank=banded_rank_full,
+        eids=eids,
+        w_binary=bool(
+            np.all((weights == 0.0) | (weights == 1.0))
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-graph cache, keyed by the GraphSlice fingerprint (a static meta field
+# stamped at from_host time, so it survives jit retracing).
+
+_HOST_CACHE: dict = {}  # fingerprint -> dict of host arrays
+_LAYOUT_CACHE: dict = {}  # (fingerprint, direction, band_rows) -> layout
+
+
+def register_host_graph(fingerprint: str, host_arrays: dict) -> None:
+    """Called by GraphSlice.from_host with the padded host-side arrays
+    needed to build layouts later (col/row offsets, srcs/dsts, weights,
+    edge masks)."""
+    _HOST_CACHE[fingerprint] = host_arrays
+
+
+def get_layout(
+    g, direction: str = "pull", row_bytes: int = 512
+) -> Optional[BandedLayout]:
+    """Banded layout for a GraphSlice, or None when the host data for this
+    graph is unknown (e.g. a GraphSlice reconstructed from raw arrays).
+
+    ``row_bytes`` = bytes per gathered feature row (F * itemsize); the band
+    height is chosen so one band's table stays under the measured
+    fast-gather ceiling.
+    """
+    fp = getattr(g, "fingerprint", None)
+    if fp is None or fp not in _HOST_CACHE:
+        return None
+    if g.n_pad % ROW_TILE != 0:  # oddly padded slices: no banded layout
+        return None
+    band_rows = max(ROW_TILE, FAST_TABLE_BYTES // max(row_bytes, 1))
+    band_rows = min(_round_up(band_rows, ROW_TILE), g.n_pad)
+    key = (fp, direction, band_rows)
+    if key not in _LAYOUT_CACHE:
+        h = _HOST_CACHE[fp]
+        if direction == "pull":
+            _LAYOUT_CACHE[key] = build_banded_layout(
+                h["col_offsets"], h["csc_srcs"], h["csc_weights"],
+                h["edge_mask"], band_rows, "pull",
+            )
+        elif direction == "push":
+            _LAYOUT_CACHE[key] = build_banded_layout(
+                h["row_offsets"], h["csr_dsts"], h["csr_weights"],
+                h["edge_mask"], band_rows, "push",
+            )
+        else:
+            raise ValueError(f"unknown direction {direction!r}")
+    return _LAYOUT_CACHE[key]

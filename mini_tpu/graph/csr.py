@@ -177,11 +177,16 @@ class GraphSlice:
         "directed",
         "max_out_degree",
         "max_in_degree",
+        "fingerprint",  # stable id of the host graph; keys the banded-
+        # layout cache (graph/banded.py) across jit retraces
     )
 
     def __init__(self, **kw):
         for f in self._DATA_FIELDS + self._META_FIELDS:
-            setattr(self, f, kw[f])
+            if f == "fingerprint":
+                setattr(self, f, kw.get(f))
+            else:
+                setattr(self, f, kw[f])
 
     @staticmethod
     def from_host(
@@ -243,8 +248,38 @@ class GraphSlice:
                 [np.ones(m, bool), np.zeros(pad_e, bool)]
             ),
         )
+        # Fingerprint the host graph and register the padded host arrays so
+        # banded SpMM layouts (graph/banded.py) can be built lazily and
+        # found again from inside jit (meta fields survive retracing).
+        import hashlib
+
+        from mini_tpu.graph import banded as _banded
+
+        hsh = hashlib.blake2b(digest_size=16)
+        hsh.update(np.int64(n).tobytes())
+        hsh.update(np.int64(m).tobytes())
+        hsh.update(arrays["row_offsets"].tobytes())
+        hsh.update(arrays["csr_dsts"].tobytes())
+        hsh.update(arrays["csr_weights"].tobytes())
+        fingerprint = hsh.hexdigest()
+        _banded.register_host_graph(
+            fingerprint,
+            dict(
+                row_offsets=arrays["row_offsets"],
+                csr_dsts=arrays["csr_dsts"],
+                csr_srcs=arrays["csr_srcs"],
+                csr_weights=arrays["csr_weights"],
+                col_offsets=arrays["col_offsets"],
+                csc_srcs=arrays["csc_srcs"],
+                csc_dsts=arrays["csc_dsts"],
+                csc_weights=arrays["csc_weights"],
+                edge_mask=arrays["edge_mask"],
+            ),
+        )
+
         put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
         return GraphSlice(
+            fingerprint=fingerprint,
             n=n,
             m=m,
             n_pad=n_pad,

@@ -31,25 +31,57 @@ from mini_tpu.ops.spmm import spmm
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GCNNorm:
-    """Symmetric-normalized adjacency, split into sparse + diagonal parts."""
+    """Symmetric-normalized adjacency, split into sparse + diagonal parts.
+
+    ``banded_pull``/``banded_push`` are the normalized edge weights
+    pre-reordered into the banded SpMM layouts (graph/banded.py) — one
+    static-rank sort each at normalize time instead of per layer per step;
+    push order feeds the custom-vjp backward pass.  None when the graph
+    has no registered banded layout (raw GraphSlice).
+    """
 
     edge_weights_csc: jnp.ndarray  # float32[m_pad]
     self_coeff: jnp.ndarray  # float32[n_pad]: 1/deg_hat diagonal
+    banded_pull: tuple | None = None
+    banded_push: tuple | None = None
 
 
-def gcn_normalize(g: GraphSlice) -> GCNNorm:
+def gcn_normalize(g: GraphSlice, band_for_f: int = 128) -> GCNNorm:
     """Â = D̂^-1/2 (A + I) D̂^-1/2 with deg_hat = in_deg + 1.
 
     For undirected graphs in/out degrees coincide; for directed graphs this
     is the standard pull-aggregation normalization.
     """
+    from mini_tpu.graph.banded import get_layout
+    from mini_tpu.ops.permute import apply_fixed_perm
+
     real = jnp.arange(g.n_pad) < g.n
     deg_hat = jnp.where(real, g.in_degrees + 1, 1).astype(jnp.float32)
     inv_sqrt = jax.lax.rsqrt(deg_hat)
     w = inv_sqrt[g.csc_srcs] * inv_sqrt[g.csc_dsts]
     w = jnp.where(g.edge_mask_csc, w, 0.0)
     self_coeff = jnp.where(real, 1.0 / deg_hat, 0.0)
-    return GCNNorm(edge_weights_csc=w, self_coeff=self_coeff)
+
+    banded_pull = banded_push = None
+    row_bytes = band_for_f * 4
+    lp = get_layout(g, "pull", row_bytes=row_bytes)
+    lb = get_layout(g, "push", row_bytes=row_bytes)
+    if lp is not None:
+        banded_pull = tuple(lp.permute_to_bands(w))
+    if lb is not None:
+        # same per-edge values in CSR order (w is symmetric in src/dst
+        # only for undirected graphs, so map through the static rank)
+        inv = apply_fixed_perm(
+            g.csr_to_csc_rank, jnp.arange(g.m_pad, dtype=jnp.int32)
+        )
+        w_csr = apply_fixed_perm(inv, w)
+        banded_push = tuple(lb.permute_to_bands(w_csr))
+    return GCNNorm(
+        edge_weights_csc=w,
+        self_coeff=self_coeff,
+        banded_pull=banded_pull,
+        banded_push=banded_push,
+    )
 
 
 def gcn_init(
@@ -95,6 +127,8 @@ def gcn_forward(
             hw_msg,
             direction="pull",
             weights=norm.edge_weights_csc,
+            weights_banded=norm.banded_pull,
+            weights_banded_bwd=norm.banded_push,
             impl=impl,
         ).astype(jnp.float32)
         h = agg + norm.self_coeff[:, None] * hw + layer["b"]

@@ -3,26 +3,34 @@ neighborhood-reduce (cf. `/root/reference/gunrock/src/neighborhood.hxx:13-70`,
 whose scalar ``Value`` reduce is the F=1 special case), powering both
 PageRank-style rank aggregation and GNN message passing.
 
-Two implementations:
+Implementations:
 
-* ``xla``: gather + sorted segment-sum.  XLA fuses the weight multiply into
-  the gather; the scatter-add is sorted (CSC order) and deterministic.
-* ``pallas``: contiguous-segment-sum-as-matmul kernel: per 128-row output
-  tile, the covering CSC edge span is swept in fixed chunks and reduced with
-  a one-hot(dst) @ messages matmul on the MXU (see ops/pallas/spmm_kernel.py).
+* ``xla``: gather + sorted segment-sum.  Simple, differentiable, slow on
+  TPU (a >16 MB-table row gather costs ~10 ns/row).
+* ``banded`` (default on TPU): K fast band gathers (tables <= 16 MB each,
+  ~3 ns/row) + the staircase one-hot Pallas MXU kernel
+  (ops/pallas/spmm_banded.py) over the statically re-grouped edge streams
+  (graph/banded.py).  Differentiable in ``x`` (the backward pass is the
+  opposite-direction banded SpMM); NOT differentiable in the edge
+  weights — weight cotangents are zero (GAT-style attention training uses
+  its own path).
+* ``pallas_onehot``: the round-1 kernel (gather + dst-id one-hot matmul),
+  kept for comparison benchmarks.
 
 Both compute, for direction="pull":
-    out[v, :] = reduce_{e=(u,v) in E} w[e] * X[u, :]
+    out[v, :] = sum_{e=(u,v) in E} w[e] * X[u, :]
 and for direction="push":
-    out[u, :] = reduce_{e=(u,v) in E} w[e] * X[v, :]
+    out[u, :] = sum_{e=(u,v) in E} w[e] * X[v, :]
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
+from mini_tpu.graph.banded import BandedLayout, get_layout
 from mini_tpu.graph.csr import GraphSlice
 from mini_tpu.ops.segment import segment_reduce
 
@@ -34,20 +42,39 @@ def spmm(
     weights: Optional[jnp.ndarray] = None,
     op: str = "sum",
     impl: str = "auto",
+    weights_banded: Optional[Sequence[jnp.ndarray]] = None,
+    weights_banded_bwd: Optional[Sequence[jnp.ndarray]] = None,
+    precision: str = "auto",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Sparse (adjacency) times dense (features): [n_pad, F] -> [n_pad, F].
 
     ``weights`` overrides the graph's edge weights; it must be in the edge
     order of the chosen direction (CSC for pull, CSR for push).
+    ``weights_banded`` (a K-tuple in the banded layout's order, e.g. from
+    ``BandedLayout.permute_to_bands``) skips the per-call reorder sort.
     """
     if x.ndim == 1:
         return spmm(
             g, x[:, None], direction=direction, weights=weights, op=op,
-            impl=impl,
+            impl=impl, weights_banded=weights_banded,
+            weights_banded_bwd=weights_banded_bwd, precision=precision,
+            interpret=interpret,
         )[:, 0]
 
     if impl == "auto":
-        impl = "pallas" if (op == "sum" and _pallas_ok(g, x)) else "xla"
+        impl = "banded" if (op == "sum" and _banded_ok(g, x)) else "xla"
+    if impl == "pallas":  # round-2 alias
+        impl = "banded"
+
+    if impl == "banded" and op == "sum":
+        out = _spmm_banded(
+            g, x, direction, weights, weights_banded, precision,
+            interpret, weights_banded_bwd=weights_banded_bwd,
+        )
+        if out is not None:
+            return out
+        impl = "xla"  # no layout (raw GraphSlice) — graceful fallback
 
     if direction == "pull":
         seg, gather_ids = g.csc_dsts, g.csc_srcs
@@ -60,19 +87,187 @@ def spmm(
     else:
         raise ValueError(f"unknown direction {direction!r}")
 
-    if impl == "pallas":
-        if op == "sum" and _pallas_shapes_ok(g, x):
+    if impl == "pallas_onehot":
+        if op == "sum" and _shapes_ok(g, x):
             from mini_tpu.ops.pallas.spmm_kernel import spmm_pallas
 
             offsets = g.col_offsets if direction == "pull" else g.row_offsets
             return spmm_pallas(offsets, gather_ids, w, x, seg_ids=seg)
-        impl = "xla"  # graceful fallback (F not lane-aligned, etc.)
+        impl = "xla"
 
     msgs = x[gather_ids] * w[:, None].astype(x.dtype)
     return segment_reduce(msgs, seg, g.n_pad, op, mask=mask[:, None])
 
 
-def _pallas_shapes_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
+# -- banded path -------------------------------------------------------------
+
+_DIFF_CACHE: dict = {}
+
+
+def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret):
+    """Band gathers + staircase kernel.  w_list: K arrays in banded order.
+
+    Precision modes (measured on v5e, rmat16 2M edges x F=128, in-loop):
+
+    * bf16 input: native single-pass pipeline (~7.7 ms).
+    * ``fast``: truncate f32 x (and w) to bf16 and take the native
+      pipeline (~7.7 ms, ~2e-3 magnitude-relative error).
+    * ``split`` (f32 default): f32 gather, hi/lo split inside the kernel
+      (~21 ms, ~1e-5 error).  Works for arbitrary weights.
+    * ``highest``: f32 gather + 6-pass MXU f32 emulation (~22 ms).
+    """
+    from mini_tpu.ops.pallas.spmm_banded import banded_segment_sum
+
+    dev = layout.dev()
+
+    def band_slice(k):
+        lo = k * layout.band_rows
+        hi = min(lo + layout.band_rows, layout.n_pad)
+        return lo, hi
+
+    if precision == "fast" and x.dtype == jnp.float32:
+        x = x.astype(jnp.bfloat16)
+
+    if x.dtype == jnp.bfloat16 or precision in ("split", "highest"):
+        msgs = []
+        for k in range(layout.K):
+            lo, hi = band_slice(k)
+            msgs.append(
+                x[lo:hi][dev["ids"][k]]
+                * w_list[k][:, None].astype(x.dtype)
+            )
+        return banded_segment_sum(
+            dev["bounds"], dev["offs2d"], msgs, precision=precision,
+            interpret=interpret,
+        )
+
+    # NOTE a split-BEFORE-gather variant (hi/lo bf16 halves, 2K streams)
+    # was built and measured 2026-08-19: in isolation its parts win
+    # (2x bf16 gathers 10.3 ms + 6-stream kernel 7.1 < f32 pipeline), but
+    # composed it lost to "split" (26-41 ms vs 20.7) — XLA materialization
+    # and scheduling overheads between the gathers and the pallas_call eat
+    # the gain.  Retired; see scratch history in BASELINE.md.
+    raise ValueError(f"unknown precision {precision!r} for {x.dtype}")
+
+
+def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret):
+    """custom_vjp wrapper: d/dx of a pull-SpMM is the push-SpMM of the
+    cotangent with the same per-edge weights (and vice versa) — both ride
+    the banded fast path.  Weight cotangents are ZERO by design (see
+    module docstring).  Layout index arrays are closed over as constants
+    (they are never traced); only float inputs are vjp arguments."""
+    key = (id(layout_f), id(layout_b), precision, interpret)
+    if key in _DIFF_CACHE:
+        return _DIFF_CACHE[key]
+
+    @jax.custom_vjp
+    def f(x, w_f, w_b):
+        return _apply_banded(x, layout_f, w_f, precision, interpret)
+
+    def fwd(x, w_f, w_b):
+        return f(x, w_f, w_b), (w_f, w_b)
+
+    def bwd(res, go):
+        w_f, w_b = res
+        if layout_b is None:
+            raise NotImplementedError(
+                "backward banded SpMM needs the opposite-direction layout"
+            )
+        gx = _apply_banded(go, layout_b, w_b, precision, interpret)
+        zf = tuple(jnp.zeros_like(w) for w in w_f)
+        zb = tuple(jnp.zeros_like(w) for w in w_b)
+        return gx, zf, zb
+
+    f.defvjp(fwd, bwd)
+    _DIFF_CACHE[key] = f
+    return f
+
+
+def _spmm_banded(
+    g, x, direction, weights, weights_banded, precision, interpret,
+    weights_banded_bwd=None,
+):
+    if x.shape[-1] % 128 != 0:
+        # pad features to the lane width: the gather is row-count-bound,
+        # so a padded banded SpMM still beats the XLA fallback
+        F = x.shape[-1]
+        F_pad = ((F + 127) // 128) * 128
+        xp = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], F_pad - F), x.dtype)], axis=1
+        )
+        out = _spmm_banded(
+            g, xp, direction, weights, weights_banded, precision,
+            interpret, weights_banded_bwd=weights_banded_bwd,
+        )
+        return None if out is None else out[:, :F]
+    # band sizing is dtype-independent (always f32 row bytes) so that one
+    # layout — and any pre-banded weights built on it — serves both the
+    # f32 and bf16 message paths of the same F.
+    row_bytes = x.shape[-1] * 4
+    layout = get_layout(g, direction, row_bytes=row_bytes)
+    if layout is None or x.shape[0] != layout.n_pad:
+        return None
+    if weights_banded is not None and (
+        len(weights_banded) != layout.K
+        or any(
+            int(w.shape[0]) != len(i)
+            for w, i in zip(weights_banded, layout.ids)
+        )
+    ):
+        # pre-banded weights were built for a different layout (e.g. a
+        # different F): fall back to the raw override
+        weights_banded = None
+        weights_banded_bwd = None
+        if weights is None:
+            return None
+    opposite = "push" if direction == "pull" else "pull"
+    layout_b = get_layout(g, opposite, row_bytes=row_bytes)
+
+    if precision == "auto":
+        precision = "split"  # accurate default; bf16 input stays native
+
+    from mini_tpu.ops.permute import apply_fixed_perm
+
+    if weights_banded is not None:
+        w_f = tuple(weights_banded)
+        if weights_banded_bwd is not None:
+            w_b = tuple(weights_banded_bwd)
+        else:
+            w_b = w_f
+            layout_b = None  # bwd order unknown for pre-banded overrides
+    elif weights is not None:
+        mask = g.edge_mask_csc if direction == "pull" else g.edge_mask
+        w = jnp.where(mask, weights, 0)
+        w_f = tuple(layout.permute_to_bands(w))
+        if layout_b is not None:
+            # reorder the override into the opposite direction's banded
+            # order via the static CSR<->CSC rank (one lax.sort).
+            if direction == "pull":
+                # need the CSC->CSR rank = inverse of csr_to_csc_rank
+                # (csc_eids is not a valid permutation over pad edges).
+                inv = apply_fixed_perm(
+                    g.csr_to_csc_rank,
+                    jnp.arange(g.m_pad, dtype=jnp.int32),
+                )
+                w_other = apply_fixed_perm(inv, w)
+            else:
+                w_other = apply_fixed_perm(g.csr_to_csc_rank, w)
+            w_b = tuple(layout_b.permute_to_bands(w_other))
+        else:
+            w_b = w_f
+    else:
+        w_f = tuple(layout.dev()["weights"])
+        w_b = (
+            tuple(layout_b.dev()["weights"])
+            if layout_b is not None
+            else w_f
+        )
+
+    fn = _make_diff_fn(layout, layout_b, precision, interpret)
+    return fn(x, w_f, w_b)
+
+
+def _shapes_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
     return (
         x.shape[-1] % 128 == 0
         and g.n_pad % 128 == 0
@@ -80,12 +275,17 @@ def _pallas_shapes_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
     )
 
 
-def _pallas_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
-    import jax
-
+def _banded_ok(g: GraphSlice, x: jnp.ndarray) -> bool:
     if jax.default_backend() not in ("tpu",):
         return False
-    return _pallas_shapes_ok(g, x)
+    return (
+        # narrow features are lane-padded up to 128 (row-count-bound
+        # gather makes that nearly free); below 32 the 128x message blow-
+        # up risks HBM at large scales, so those stay on the XLA path
+        x.shape[-1] >= 32
+        and g.n_pad % 128 == 0
+        and getattr(g, "fingerprint", None) is not None
+    )
 
 
 def sddmm(

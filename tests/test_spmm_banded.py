@@ -1,0 +1,234 @@
+"""Banded SpMM: layout builder, staircase kernel (interpret mode), spmm
+routing, and the custom-vjp backward pass.  TPU compiled-mode numbers are
+validated separately on hardware via bench logs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_tpu.graph import GraphSlice, erdos_renyi
+from mini_tpu.graph.banded import build_banded_layout, get_layout
+from mini_tpu.ops.pallas.spmm_banded import banded_segment_sum
+from mini_tpu.ops.spmm import _spmm_banded, spmm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hg = erdos_renyi(700, 9000, seed=1, undirected=True, weighted=True)
+    gs = GraphSlice.from_host(hg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(gs.n_pad, 128).astype(np.float32) - 0.5)
+    return hg, gs, x
+
+
+def _mag(gs, x, direction="pull", weights=None):
+    """Per-entry magnitude bound: aggregation of |x| with |w| — the right
+    denominator for low-precision segment sums (cancellation makes plain
+    relative error meaningless near zero)."""
+    w = (gs.csc_weights if direction == "pull" else gs.csr_weights
+         ) if weights is None else weights
+    mag = spmm(gs, jnp.abs(x), direction=direction, weights=jnp.abs(w),
+               impl="xla")
+    return np.asarray(mag) + 1e-6
+
+
+def _relerr(out, ref, mag):
+    return (np.abs(np.asarray(out) - np.asarray(ref)) / mag).max()
+
+
+def _layout(gs, direction="pull", band_rows=256):
+    """Small band_rows to force several bands."""
+    h_off = np.asarray(gs.col_offsets if direction == "pull"
+                       else gs.row_offsets)
+    gid = np.asarray(gs.csc_srcs if direction == "pull" else gs.csr_dsts)
+    w = np.asarray(gs.csc_weights if direction == "pull"
+                   else gs.csr_weights)
+    mask = np.asarray(gs.edge_mask_csc if direction == "pull"
+                      else gs.edge_mask)
+    return build_banded_layout(h_off, gid, w, mask, band_rows, direction)
+
+
+def test_layout_partitions_every_edge(setup):
+    hg, gs, x = setup
+    lay = _layout(gs)
+    assert lay.K > 1  # multiple bands exercised
+    assert sum(lay.lens) == gs.m_pad
+    # per band: ids in range, offsets consistent
+    for k in range(lay.K):
+        assert lay.ids[k].max(initial=0) < lay.band_rows
+        assert lay.bounds[k, -1] == lay.lens[k]
+    # reconstruct the full segment sum from the layout in NumPy
+    ref = np.zeros((gs.n_pad,), np.float64)
+    np.add.at(
+        ref, np.asarray(gs.csc_dsts),
+        np.asarray(gs.csc_weights).astype(np.float64),
+    )
+    got = np.zeros_like(ref)
+    for k in range(lay.K):
+        offk = np.concatenate(
+            [lay.offs2d[k].reshape(-1), lay.bounds[k, -1:]]
+        )
+        seg = np.repeat(np.arange(gs.n_pad), np.diff(offk))
+        np.add.at(got, seg, lay.weights[k][: lay.lens[k]])
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_banded_rank_roundtrip(setup):
+    hg, gs, x = setup
+    lay = _layout(gs)
+    vals = jnp.asarray(
+        np.random.RandomState(3).rand(gs.m_pad).astype(np.float32)
+    )
+    bands = lay.permute_to_bands(vals)
+    # the banded values must agree with direct numpy regrouping via eids
+    for k in range(lay.K):
+        np.testing.assert_array_equal(
+            np.asarray(bands[k][: lay.lens[k]]),
+            np.asarray(vals)[lay.eids[k][: lay.lens[k]]],
+        )
+
+
+@pytest.mark.parametrize("precision,tol", [
+    # "highest" still differs from XLA by summation order (band split);
+    # "split" carries ~2^-17 per-term residual; "fast" truncates messages
+    # to bf16.  All relative to the |x|,|w| aggregation magnitude.
+    ("highest", 1e-5), ("split", 3e-4), ("fast", 3e-2),
+])
+def test_banded_kernel_matches_xla(setup, precision, tol):
+    hg, gs, x = setup
+    lay = _layout(gs)
+    dev = lay.dev()
+    msgs = []
+    for k in range(lay.K):
+        lo = k * lay.band_rows
+        hi = min(lo + lay.band_rows, lay.n_pad)
+        msgs.append(
+            x[lo:hi][dev["ids"][k]] * dev["weights"][k][:, None]
+        )
+    out = banded_segment_sum(
+        dev["bounds"], dev["offs2d"], msgs, precision=precision,
+        interpret=True,
+    )
+    ref = spmm(gs, x, direction="pull", impl="xla")
+    err = _relerr(out, ref, _mag(gs, x))
+    assert err < tol, err
+
+
+def test_banded_kernel_bf16_messages(setup):
+    hg, gs, x = setup
+    lay = _layout(gs)
+    dev = lay.dev()
+    x16 = x.astype(jnp.bfloat16)
+    msgs = []
+    for k in range(lay.K):
+        lo = k * lay.band_rows
+        hi = min(lo + lay.band_rows, lay.n_pad)
+        msgs.append(
+            x16[lo:hi][dev["ids"][k]]
+            * dev["weights"][k][:, None].astype(jnp.bfloat16)
+        )
+    out = banded_segment_sum(
+        dev["bounds"], dev["offs2d"], msgs, interpret=True
+    )
+    assert out.dtype == jnp.float32
+    ref = spmm(gs, x, direction="pull", impl="xla")
+    err = _relerr(out, ref, _mag(gs, x))
+    assert err < 3e-2, err
+
+
+def test_spmm_banded_route_with_cached_layout(setup):
+    hg, gs, x = setup
+    # default cache (band_rows from row bytes; single band at this size)
+    out = _spmm_banded(gs, x, "pull", None, None, "split", True)
+    assert out is not None
+    ref = spmm(gs, x, direction="pull", impl="xla")
+    assert _relerr(out, ref, _mag(gs, x)) < 3e-4
+
+
+def test_spmm_banded_push_direction(setup):
+    hg, gs, x = setup
+    out = _spmm_banded(gs, x, "push", None, None, "split", True)
+    ref = spmm(gs, x, direction="push", impl="xla")
+    assert _relerr(out, ref, _mag(gs, x, "push")) < 3e-4
+
+
+def test_spmm_banded_weight_override(setup):
+    hg, gs, x = setup
+    w = jnp.asarray(
+        np.random.RandomState(5).rand(gs.m_pad).astype(np.float32)
+    )
+    out = _spmm_banded(gs, x, "pull", w, None, "split", True)
+    ref = spmm(gs, x, direction="pull", weights=w, impl="xla")
+    assert _relerr(out, ref, _mag(gs, x, "pull", w)) < 3e-4
+
+
+def test_spmm_banded_grad_is_push_spmm(setup):
+    hg, gs, x = setup
+
+    def loss_banded(x):
+        out = _spmm_banded(gs, x, "pull", None, None, "split", True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(x):
+        out = spmm(gs, x, direction="pull", impl="xla")
+        return jnp.sum(jnp.sin(out))
+
+    gb = jax.grad(loss_banded)(x)
+    gx = jax.grad(loss_xla)(x)
+    gmag = _mag(gs, jnp.ones_like(x), "push")
+    assert _relerr(gb, gx, gmag) < 3e-4
+
+
+def test_spmm_banded_directed_graph():
+    hg = erdos_renyi(300, 2500, seed=9, undirected=False, weighted=True)
+    gs = GraphSlice.from_host(hg)
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(gs.n_pad, 128).astype(np.float32)
+    )
+    for direction in ("pull", "push"):
+        out = _spmm_banded(gs, x, direction, None, None, "split", True)
+        ref = spmm(gs, x, direction=direction, impl="xla")
+        assert _relerr(out, ref, _mag(gs, x, direction)) < 3e-4
+
+
+def test_get_layout_cache_and_fingerprint(setup):
+    hg, gs, x = setup
+    l1 = get_layout(gs, "pull", row_bytes=512)
+    l2 = get_layout(gs, "pull", row_bytes=512)
+    assert l1 is l2
+    assert gs.fingerprint is not None
+    # a raw GraphSlice (no from_host) has no layout
+    leaves, meta = gs.tree_flatten()
+    raw = GraphSlice.tree_unflatten(meta, leaves)
+    assert get_layout(raw, "pull") is l1  # fingerprint survives unflatten
+
+
+def test_spmm_banded_unweighted_auto():
+    hg = erdos_renyi(500, 6000, seed=11, undirected=True, weighted=False)
+    gs = GraphSlice.from_host(hg)
+    lay = get_layout(gs, "pull", row_bytes=512)
+    assert lay.w_binary  # {0,1} weights recorded for future fast paths
+    x = jnp.asarray(
+        np.random.RandomState(2).rand(gs.n_pad, 128).astype(np.float32)
+        - 0.5
+    )
+    out = _spmm_banded(gs, x, "pull", None, None, "auto", True)
+    ref = spmm(gs, x, direction="pull", impl="xla")
+    assert _relerr(out, ref, _mag(gs, x)) < 3e-4
+
+
+def test_spmm_banded_fast_routes_bf16_pipeline(setup):
+    hg, gs, x = setup
+    out = _spmm_banded(gs, x, "pull", None, None, "fast", True)
+    ref = spmm(gs, x, direction="pull", impl="xla")
+    assert _relerr(out, ref, _mag(gs, x)) < 3e-2
+
+
+def test_weighted_graph_auto_uses_full_precision(setup):
+    hg, gs, x = setup  # weighted=True fixture
+    lay = get_layout(gs, "pull", row_bytes=512)
+    assert not lay.w_binary
+    out = _spmm_banded(gs, x, "pull", None, None, "auto", True)
+    ref = spmm(gs, x, direction="pull", impl="xla")
+    assert _relerr(out, ref, _mag(gs, x)) < 3e-4
