@@ -63,9 +63,6 @@ def main():
     src = int(np.argmax(hg.out_degrees))
     res = bfs(gs, src)
     reached = np.asarray(res.labels)[: hg.n] >= 0
-    edges_touched = float(hg.out_degrees[reached].sum()) * int(
-        res.num_iterations
-    ) / max(int(res.num_iterations), 1)
     # standard MTEPS accounting: edges in the reached component
     edges_reached = float(hg.out_degrees[reached].sum())
     print("# bfs compiled", file=sys.stderr, flush=True)

@@ -89,7 +89,7 @@ def _bfs_impl(
             """Bounded compact-frontier push (O(capacity), not O(m)) — the
             reference's LB sparse advance re-expressed (ops/sparse.py)."""
             labels, frontier, it = ops
-            idx, cnt = compact_frontier(frontier, tier_capv)
+            idx, cnt, _ = compact_frontier(frontier, tier_capv)
             _, dst, _, valid, _ = expand_frontier(g, idx, cnt, tier_cape)
             sel = valid & (labels[dst] == -1)
             dstw = jnp.where(sel, dst, n_pad)

@@ -144,7 +144,7 @@ def _coloring_fast_impl(
 
         def sparse_update(ops):
             colored_e, colors = ops
-            idx, cnt = compact_frontier(newly, capv)
+            idx, cnt, _ = compact_frontier(newly, capv)
             _, _, eid, valid, _ = expand_frontier(g, idx, cnt, cape)
             # eid enumerates the newly vertices' CSR out-edge slots; for
             # an undirected graph those same slot numbers are their CSC

@@ -87,7 +87,7 @@ def _kcore_impl(g: GraphSlice, max_k: int):
             as in the reference's atomicAdd, `kcore/kcore_functor.hxx:34`
             — identical to the dense sweep's edge set)."""
             (peel,) = ops
-            idx, cnt = compact_frontier(peel, capv)
+            idx, cnt, _ = compact_frontier(peel, capv)
             _, dst, _, valid, _ = expand_frontier(g, idx, cnt, cape)
             dec_ext = jnp.zeros(n_pad + 1, jnp.int32)
             dec_ext = dec_ext.at[jnp.where(valid, dst, n_pad)].add(

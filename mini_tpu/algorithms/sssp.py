@@ -76,7 +76,7 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
             """Bounded compact-frontier relax: same f32 min over the same
             candidate set -> bitwise-identical to the dense sweep."""
             dist, frontier, it = ops
-            idx, cnt = compact_frontier(frontier, tier_capv)
+            idx, cnt, _ = compact_frontier(frontier, tier_capv)
             esrc, edst, eid, valid, _ = expand_frontier(
                 g, idx, cnt, tier_cape
             )

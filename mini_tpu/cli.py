@@ -136,9 +136,10 @@ def main(argv=None):
         t = time_fn(lambda: sssp(gs, args.src, sparse_capv=qs_cap,
                                  sparse_cape=qs_cap))
         reached = np.isfinite(np.asarray(res.dists))
-        edges = hg.out_degrees[reached[: hg.n]].sum() * int(
-            res.num_iterations
-        ) / max(int(res.num_iterations), 1)
+        # standard MTEPS accounting: edges in the reached component
+        # (same convention as BFS; the reference prints raw wall clock only,
+        # tests/sssp/test_sssp.cu:38-42)
+        edges = hg.out_degrees[reached[: hg.n]].sum()
         print(f"iterations: {int(res.num_iterations)}")
         print(f"elapsed: {t.min_s * 1e3:.3f} ms  MTEPS: {t.mteps(edges):.1f}")
         display_device_data(res.dists, name="dists")

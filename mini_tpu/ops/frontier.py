@@ -47,13 +47,19 @@ class Frontier:
         """On-device element count (no host sync)."""
         return jnp.sum(self.mask.astype(jnp.int32))
 
-    def to_indices(self, capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def to_indices(
+        self, capacity: int
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Compact to a bounded index list.
 
-        Returns (indices int32[capacity], count).  Slots past ``count`` are
-        filled with -1 (the reference uses -1 holes too, `advance.hxx:60`).
-        Masked compaction: cumsum of mask + scatter — the TPU analogue of
-        moderngpu's ``transform_compact`` upsweep/downsweep (`filter.hxx:18-30`).
+        Returns (indices int32[capacity], count, overflowed).  Slots past
+        ``count`` are filled with -1 (the reference uses -1 holes too,
+        `advance.hxx:60`); ``overflowed`` is True when the true population
+        exceeded ``capacity`` (the reference hard-exits on frontier
+        overflow, `frontier.hxx:85-93` — on TPU the flag is on-device and
+        the caller decides).  Masked compaction: cumsum of mask + scatter —
+        the TPU analogue of moderngpu's ``transform_compact``
+        upsweep/downsweep (`filter.hxx:18-30`).
         """
         return compact_mask(self.mask, capacity)
 
@@ -66,8 +72,14 @@ class Frontier:
 
 def compact_mask(
     mask: jnp.ndarray, capacity: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Indices of set bits, bounded by ``capacity``; -1 padded."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Indices of set bits, bounded by ``capacity``; -1 padded.
+
+    Returns (indices, count, overflowed): ``overflowed`` is a bool scalar
+    set when the population exceeds ``capacity`` — entries past capacity
+    are dropped, and the flag makes that detectable (the reference's
+    frontier exits the process instead, `frontier.hxx:85-93`).
+    """
     n = mask.shape[0]
     positions = jnp.cumsum(mask.astype(jnp.int32)) - 1
     count = jnp.sum(mask.astype(jnp.int32))
@@ -76,7 +88,7 @@ def compact_mask(
     # one extra scratch slot absorbs out-of-capacity / unset entries
     out = jnp.concatenate([out, jnp.zeros(1, jnp.int32)])
     out = out.at[slot].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return out[:capacity], jnp.minimum(count, capacity)
+    return out[:capacity], jnp.minimum(count, capacity), count > capacity
 
 
 def uniquify(indices: jnp.ndarray, n_pad: int, capacity: int | None = None):
@@ -85,7 +97,8 @@ def uniquify(indices: jnp.ndarray, n_pad: int, capacity: int | None = None):
     Replaces the reference's three heuristic culls (bitmask/warp-hash/
     history-hash, `filter.hxx:33-119`) with exact, deterministic dedup —
     those culls are GPU shared-memory artifacts; on TPU the bitmap is cheap.
-    Negative indices (holes) are dropped.
+    Negative indices (holes) are dropped.  Returns (indices, count,
+    overflowed) — see ``compact_mask``.
     """
     capacity = capacity or indices.shape[0]
     f = Frontier.from_indices(indices, n_pad)

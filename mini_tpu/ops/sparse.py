@@ -55,7 +55,12 @@ def frontier_edge_count(g: GraphSlice, mask: jnp.ndarray) -> jnp.ndarray:
 def compact_frontier(mask: jnp.ndarray, capv: int):
     """Bounded compaction of a bitmap (see ops/frontier.compact_mask, but
     clamping instead of -1 holes so downstream gathers stay in-bounds).
-    Returns (indices int32[capv] — clamped duplicates past count, count)."""
+    Returns (indices int32[capv] — clamped duplicates past count, count,
+    overflowed).  ``overflowed`` is True when the population exceeded
+    ``capv`` and entries were dropped; the algorithms' tier selection
+    checks capacity-fit BEFORE routing here (``frontier_edge_count``), so
+    on those paths the flag is statically False — direct callers must
+    check it (the reference hard-exits instead, `frontier.hxx:85-93`)."""
     n = mask.shape[0]
     positions = jnp.cumsum(mask.astype(jnp.int32)) - 1
     count = jnp.sum(mask.astype(jnp.int32))
@@ -64,7 +69,7 @@ def compact_frontier(mask: jnp.ndarray, capv: int):
     out = out.at[slot].max(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
-    return out[:capv], jnp.minimum(count, capv)
+    return out[:capv], jnp.minimum(count, capv), count > capv
 
 
 def expand_frontier(

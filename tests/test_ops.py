@@ -71,8 +71,9 @@ def test_exclusive_cumsum():
 def test_frontier_roundtrip():
     f = Frontier.from_indices(jnp.array([2, 5, 5, -1]), 8)
     assert int(f.size()) == 2
-    idx, count = f.to_indices(4)
+    idx, count, overflow = f.to_indices(4)
     assert int(count) == 2
+    assert not bool(overflow)
     np.testing.assert_array_equal(np.asarray(idx), [2, 5, -1, -1])
 
 
@@ -82,17 +83,22 @@ def test_frontier_full_empty():
     assert int(Frontier.empty(16).size()) == 0
 
 
-def test_compact_mask_capacity_clip():
+def test_compact_mask_capacity_clip_flags_overflow():
     mask = jnp.array([True] * 6 + [False] * 2)
-    idx, count = compact_mask(mask, 4)
+    idx, count, overflow = compact_mask(mask, 4)
     assert int(count) == 4
+    assert bool(overflow)  # 6 set bits > capacity 4 must be DETECTED
     np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
+    # exactly-at-capacity is not an overflow
+    _, count6, ov6 = compact_mask(mask, 6)
+    assert int(count6) == 6 and not bool(ov6)
 
 
 def test_uniquify_exact():
     idx = jnp.array([3, 1, 3, 3, 1, -1, 7])
-    out, count = uniquify(idx, 16, capacity=8)
+    out, count, overflow = uniquify(idx, 16, capacity=8)
     assert int(count) == 3
+    assert not bool(overflow)
     np.testing.assert_array_equal(np.asarray(out)[:3], [1, 3, 7])
 
 

@@ -67,6 +67,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isinf(np.asarray(restored["dist"])[1])
 
 
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    import pytest
+
+    state = {"a": jnp.arange(4), "b": jnp.ones(3)}
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, state)
+    # different key set (same leaf count) -> treedef mismatch must raise
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_pytree(path, {"a": jnp.zeros(4), "c": jnp.zeros(3)})
+    # different leaf count -> must raise, not load garbage
+    with pytest.raises(ValueError, match="leaves"):
+        load_pytree(path, {"a": jnp.zeros(4)})
+
+
 def test_scope_runs():
     with scope("unit-test"):
         x = jnp.ones(4) * 2

@@ -16,9 +16,17 @@ from mini_tpu.algorithms import bfs, bfs_cpu
 
 def test_compact_frontier():
     mask = jnp.array([False, True, False, True, True, False])
-    idx, count = compact_frontier(mask, 4)
+    idx, count, overflow = compact_frontier(mask, 4)
     assert int(count) == 3
+    assert not bool(overflow)
     np.testing.assert_array_equal(np.asarray(idx)[:3], [1, 3, 4])
+
+
+def test_compact_frontier_overflow_detected():
+    mask = jnp.ones(10, jnp.bool_)
+    idx, count, overflow = compact_frontier(mask, 4)
+    assert int(count) == 4
+    assert bool(overflow)  # dropped work must be signalled, not silent
 
 
 def test_expand_frontier_matches_adjacency(random_graph, random_slice):
@@ -30,7 +38,7 @@ def test_expand_frontier_matches_adjacency(random_graph, random_slice):
     mask = jnp.asarray(mask_np)
     capv, cape = 64, 1024
     assert int(frontier_edge_count(gs, mask)) <= cape
-    idx, cnt = compact_frontier(mask, capv)
+    idx, cnt, _ = compact_frontier(mask, capv)
     src, dst, eid, valid, total = expand_frontier(gs, idx, cnt, cape)
     v = np.asarray(valid)
     got = sorted(zip(np.asarray(src)[v].tolist(), np.asarray(dst)[v].tolist()))
