@@ -119,25 +119,33 @@ def pagerank_cpu(
     max_iter: int = 100,
 ) -> np.ndarray:
     """NumPy oracle mirroring the device iteration (the reference ships no
-    PR oracle — `tests/pr/test_pr.cu:39-40` prints top-10 only)."""
+    PR oracle — `tests/pr/test_pr.cu:39-40` prints top-10 only).
+
+    Sparse (edge-list bincount) aggregation so validation works at
+    rmat16+ scales — the earlier dense n x n multiplier needed 34 GB at
+    n=65k.  Multi-edges contribute multiplicity, same as the dense form.
+    """
     n = hg.n
     out_deg = hg.out_degrees.astype(np.float64)
-    mult = np.zeros((n, n))
-    np.add.at(mult, (hg.csr_srcs, hg.csr_dsts), 1.0)
+    src, dst = hg.csr_srcs, hg.csr_dsts
+
+    def pull_sum(vals: np.ndarray) -> np.ndarray:
+        return np.bincount(dst, weights=vals[src], minlength=n)
+
     ranks = np.full(n, 0.15 if variant == "mini" else 1.0 / n)
     active = np.ones(n, dtype=bool)
     for _ in range(max_iter):
         if not active.any():
             break
         if variant == "mini":
-            reduced = mult.T @ ranks
+            reduced = pull_sum(ranks)
             new = np.where(
                 out_deg > 0, 0.15 + damping * reduced / np.maximum(out_deg, 1),
                 0.15,
             )
         else:
             contrib = np.where(out_deg > 0, ranks / np.maximum(out_deg, 1), 0)
-            reduced = mult.T @ contrib
+            reduced = pull_sum(contrib)
             dangling = ranks[out_deg == 0].sum()
             new = (1 - damping) / n + damping * (reduced + dangling / n)
         new = np.where(active, new, ranks)

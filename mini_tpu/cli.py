@@ -253,6 +253,17 @@ def main(argv=None):
         t = time_fn(lambda: fwd(params, x))
         eps = 2 * hg.m / t.min_s  # 2 layers
         print(f"elapsed: {t.min_s * 1e3:.3f} ms  agg edges/s: {eps:.3e}")
+        if args.validate:
+            from mini_tpu.models.gcn import gcn_forward_cpu
+
+            params_np = jax.tree_util.tree_map(np.asarray, params)
+            exp = gcn_forward_cpu(params_np, hg, np.asarray(x))
+            got = np.asarray(fwd(params, x))[: hg.n]
+            # f32 device vs f64 oracle; tolerance absorbs the banded
+            # split-bf16 accumulation (~1e-5 relative)
+            ok = np.allclose(got, exp, rtol=2e-3, atol=2e-3)
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
     return 0
 
 

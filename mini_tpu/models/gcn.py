@@ -175,18 +175,27 @@ def gcn_init_opt(params):
 def gcn_forward_cpu(
     params_np: list[dict], hg: HostGraph, x: np.ndarray
 ) -> np.ndarray:
-    """NumPy dense oracle of the forward pass (allclose validation per
-    BASELINE.json north_star)."""
+    """NumPy/scipy sparse oracle of the forward pass (allclose validation
+    per BASELINE.json north_star).  Sparse so --validate works at rmat16+
+    (the earlier dense n x n adjacency needed 34 GB at n=65k); bitwise the
+    same math: out[v] = sum_{(u,v)} d[u] d[v] h[u] + d[v]^2 h[v] with
+    d = deg_hat^-1/2, deg_hat = in_deg + 1 (multi-edges keep multiplicity).
+    """
+    import scipy.sparse as sp
+
     n = hg.n
-    a = np.zeros((n, n), dtype=np.float64)
-    np.add.at(a, (hg.csr_srcs, hg.csr_dsts), 1.0)
-    a = a + np.eye(n)
-    deg_hat = np.asarray(a.sum(axis=0))  # in-degree + 1 (column sums)
+    deg_hat = (hg.in_degrees.astype(np.float64) + 1.0)
     d = 1.0 / np.sqrt(deg_hat)
-    a_hat = d[None, :] * a * d[:, None]  # D^-1/2 (A+I) D^-1/2
+    src, dst = hg.csr_srcs, hg.csr_dsts
+    # pull aggregation operator: row = dst, col = src (A_hat^T off-diagonal)
+    agg = sp.csr_matrix(
+        (d[src] * d[dst], (dst, src)), shape=(n, n), dtype=np.float64
+    )
+    self_coeff = (d * d)[:, None]
     h = x[:n].astype(np.float64)
     for i, layer in enumerate(params_np):
-        h = a_hat.T @ (h @ layer["w"]) + layer["b"]
+        hw = h @ layer["w"]
+        h = agg @ hw + self_coeff * hw + layer["b"]
         if i < len(params_np) - 1:
             h = np.maximum(h, 0)
     return h
