@@ -30,6 +30,35 @@ def test_cli_runs_and_validates(argv, capsys):
         assert "Correct." in out
 
 
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        # each reference test dir's fixture through the matching driver,
+        # mirroring the reference run.sh invocations (tests/*/run.sh)
+        ["coloring", "--file", os.path.join(FIXDIR, "test_coloring.mtx"),
+         "--undirected", "--seed", "31", "--validate"],
+        ["pr", "--file", os.path.join(FIXDIR, "test_coloring.mtx"),
+         "--undirected", "--validate"],
+        ["lspar", "--file", os.path.join(FIXDIR, "test_coloring.mtx"),
+         "--undirected"],
+        ["sssp", "--file", os.path.join(FIXDIR, "test_sssp.mtx"),
+         "--undirected", "--src", "0", "--validate"],
+        ["kcore", "--file", os.path.join(FIXDIR, "test_kcore.mtx"),
+         "--undirected", "--validate"],
+        ["gcn", "--file", os.path.join(FIXDIR, "test_kcore.mtx"),
+         "--undirected", "--validate"],
+    ],
+)
+def test_cli_reference_fixtures(argv, capsys):
+    assert main(argv) == 0
+    out = capsys.readouterr().out
+    if "--validate" in argv:
+        assert "Correct." in out
+
+
 def test_cli_rmat(capsys):
     assert main(["bfs", "--rmat-scale", "8", "--src", "0", "--validate"]) == 0
     assert "Correct." in capsys.readouterr().out
