@@ -87,35 +87,100 @@ class BandedLayout:
         if self._dev is None:
             import jax.numpy as jnp
 
+            inv = np.empty_like(self.banded_rank)
+            inv[self.banded_rank] = np.arange(
+                self.banded_rank.shape[0], dtype=self.banded_rank.dtype
+            )
             self._dev = dict(
                 ids=[jnp.asarray(i) for i in self.ids],
                 weights=[jnp.asarray(w) for w in self.weights],
                 bounds=jnp.asarray(self.bounds),
                 offs2d=jnp.asarray(self.offs2d),
                 banded_rank=jnp.asarray(self.banded_rank),
+                inv_rank=jnp.asarray(inv),
             )
         return self._dev
 
-    def permute_to_bands(self, edge_vals):
-        """Reorder per-edge values (in this layout's base order: CSC for
-        pull, CSR for push) into the banded order, returning the list of
-        per-band arrays.  One static-rank ``lax.sort`` — jit-safe."""
-        import jax.numpy as jnp
-
-        from mini_tpu.ops.permute import apply_fixed_perm
-
-        total = self.total_padded
-        rank = self.dev()["banded_rank"]
-        padded = jnp.concatenate(
-            [edge_vals,
-             jnp.zeros(total - edge_vals.shape[0], edge_vals.dtype)]
-        )
-        flat = apply_fixed_perm(rank, padded)
+    def _split_bands(self, flat):
         out, pos = [], 0
         for i in self.ids:
             out.append(flat[pos: pos + len(i)])
             pos += len(i)
         return out
+
+    def permute_to_bands(self, edge_vals):
+        """Reorder per-edge values (in this layout's base order: CSC for
+        pull, CSR for push) into the banded order, returning the list of
+        per-band arrays.  One static-rank ``lax.sort`` — jit-safe; the VJP
+        is the inverse fixed perm (another sort), NOT lax.sort's
+        scatter-based transpose (~8 ns/elem — the banned hot-path pattern).
+        """
+        return list(_perm_fns(self)[0](edge_vals))
+
+    def permute_from_bands(self, band_vals):
+        """Inverse of :meth:`permute_to_bands`: per-band arrays (or the
+        flat banded stream) back to the base edge order, length m_pad."""
+        import jax.numpy as jnp
+
+        if not isinstance(band_vals, jnp.ndarray):
+            band_vals = jnp.concatenate(list(band_vals))
+        return _perm_fns(self)[1](band_vals)
+
+
+_PERM_CACHE: dict = {}
+
+
+def _perm_fns(layout: BandedLayout):
+    """(to_bands, from_flat) custom_vjp pair for this layout: each is one
+    static-rank sort, and each is the other's VJP (a fixed permutation's
+    transpose is its inverse)."""
+    key = id(layout)
+    if key in _PERM_CACHE:
+        return _PERM_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    from mini_tpu.ops.permute import apply_fixed_perm
+
+    total = layout.total_padded
+    m_pad = layout.m_pad
+
+    def _to_flat(v):
+        padded = jnp.concatenate(
+            [v, jnp.zeros(total - v.shape[0], v.dtype)]
+        )
+        return apply_fixed_perm(layout.dev()["banded_rank"], padded)
+
+    def _from_flat(flat):
+        return apply_fixed_perm(layout.dev()["inv_rank"], flat)[:m_pad]
+
+    @jax.custom_vjp
+    def to_bands(v):
+        return tuple(layout._split_bands(_to_flat(v)))
+
+    def to_fwd(v):
+        return to_bands(v), v.shape[0]
+
+    def to_bwd(m_in, ct):
+        flat = jnp.concatenate([jnp.asarray(c) for c in ct])
+        return (_from_flat(flat)[:m_in],)
+
+    to_bands.defvjp(to_fwd, to_bwd)
+
+    @jax.custom_vjp
+    def from_flat(flat):
+        return _from_flat(flat)
+
+    def from_fwd(flat):
+        return from_flat(flat), None
+
+    def from_bwd(_, ct):
+        return (_to_flat(ct),)
+
+    from_flat.defvjp(from_fwd, from_bwd)
+
+    _PERM_CACHE[key] = (to_bands, from_flat)
+    return _PERM_CACHE[key]
 
 
 def build_banded_layout(

@@ -170,3 +170,221 @@ def banded_segment_sum(
         ),
         interpret=interpret,
     )(bounds, offs2d, *msgs)
+
+
+def _sddmm_chunk_matmul(m, y, precision, msg_dtype):
+    """t[j, r] = <m[j, :], y[r, :]> with the configured precision.
+
+    Unlike the forward's one-hot (exact in bf16), BOTH operands here are
+    data, so "split" decomposes the messages into hi+lo bf16 halves and
+    additionally corrects y's truncation (3 MXU passes, ~1e-5 relative)."""
+    dn = (((1,), (1,)), ((), ()))
+    if precision == "highest" and msg_dtype == jnp.float32:
+        return jax.lax.dot_general(
+            m, y.astype(jnp.float32), dn,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    if msg_dtype == jnp.float32 and precision == "split":
+        y32 = y.astype(jnp.float32)
+        mh = m.astype(jnp.bfloat16)
+        ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        yh = y32.astype(jnp.bfloat16)
+        yl = (y32 - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            mh, yh, dn, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            ml, yh, dn, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            mh, yl, dn, preferred_element_type=jnp.float32
+        )
+        return acc
+    return jax.lax.dot_general(
+        m.astype(jnp.bfloat16), y.astype(jnp.bfloat16), dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def banded_sddmm(
+    bounds: jnp.ndarray,  # int32[K, n_tiles+1]
+    offs2d: jnp.ndarray,  # int32[K, n_tiles, ROW_TILE]
+    msgs: tuple,  # K arrays [mk_pad, F] — gathered src rows, banded order
+    y: jnp.ndarray,  # [n_tiles*ROW_TILE, F] — dst-side matrix
+    precision: str = "split",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-edge dot products over the banded layout:
+
+        dw[e] = <y[dst(e)], msgs[e]>
+
+    — the SDDMM shape (L-Spar's similarity step,
+    `/root/reference/gunrock/src/lspar/lspar_functor.hxx:28-33`) and exactly
+    the weight cotangent of the banded SpMM.  Returns the FLAT banded edge
+    stream float32[sum_k mk_pad] (band k's slot j at ``base_k + j``); map it
+    back to CSC/CSR order with ``BandedLayout.permute_from_bands``.
+
+    Same grid/DMA skeleton as the forward: each 128-dst output tile walks
+    its per-band edge chunks, but instead of folding messages into dst rows
+    it computes t = msgs_chunk @ y_tileᵀ on the MXU and row-sums it under
+    the staircase mask.  A chunk straddling a tile boundary is touched by
+    both tiles; the later one read-modify-writes (grid steps are sequential
+    on a TPU core, so the RMW is race-free).
+    """
+    msgs = tuple(msgs)
+    K = len(msgs)
+    n_tiles = bounds.shape[1] - 1
+    F = msgs[0].shape[1]
+    msg_dtype = msgs[0].dtype
+    C = EDGE_CHUNK
+    base_chunks = []  # static flat chunk base per band
+    b = 0
+    for mk in msgs:
+        base_chunks.append(b)
+        b += int(mk.shape[0]) // C
+    total_chunks = b
+
+    def kernel(bounds_ref, offs2d_hbm, *rest):
+        msgs_refs = rest[:K]
+        y_ref = rest[K]  # VMEM (ROW_TILE, F)
+        out_ref = rest[K + 1]  # ANY [total_chunks, C]
+        msg_buf = rest[K + 2]  # VMEM (N_BUF, C, F)
+        offs_buf = rest[K + 3]  # VMEM (1, ROW_TILE) int32
+        acc_buf = rest[K + 4]  # VMEM (1, C) f32
+        sems = rest[K + 5]  # DMA (N_BUF,)
+        osem = rest[K + 6]  # DMA ()
+        wsem = rest[K + 7]  # DMA ()
+
+        i = pl.program_id(0)
+        jg_col = jax.lax.broadcasted_iota(jnp.int32, (C, ROW_TILE), 0)
+
+        for k in range(K):  # static unroll over bands
+            start = bounds_ref[k, i]
+            end = bounds_ref[k, i + 1]
+            c0 = start // C
+            c1 = pl.cdiv(end, C)
+
+            def mdma(slot, c, k=k):
+                return pltpu.make_async_copy(
+                    msgs_refs[k].at[pl.ds(c * C, C), :],
+                    msg_buf.at[slot],
+                    sems.at[slot],
+                )
+
+            @pl.when(c0 < c1)
+            def _(k=k, start=start, end=end, c0=c0, c1=c1, mdma=mdma):
+                odma = pltpu.make_async_copy(
+                    offs2d_hbm.at[k, pl.ds(i, 1), :], offs_buf, osem
+                )
+                odma.start()
+                mdma(0, c0).start()
+                odma.wait()
+                off = offs_buf[:]  # (1, ROW_TILE)
+                nxt = jnp.concatenate(
+                    [off[:, 1:], jnp.full((1, 1), end, jnp.int32)],
+                    axis=1,
+                )
+
+                def body(c, _):
+                    slot = (c - c0) % N_BUF
+                    nslot = (c - c0 + 1) % N_BUF
+
+                    @pl.when(c + 1 < c1)
+                    def _():
+                        mdma(nslot, c + 1).start()
+
+                    row = base_chunks[k] + c
+                    # a chunk whose first edge precedes this tile's range
+                    # was already part-written by an earlier tile: RMW it
+                    rmw = c * C < start
+
+                    @pl.when(rmw)
+                    def _():
+                        pltpu.make_async_copy(
+                            out_ref.at[pl.ds(row, 1), :], acc_buf, wsem
+                        ).start()
+
+                    mdma(slot, c).wait()
+                    jg = jg_col + c * C
+                    stair = (jg >= off) & (jg < nxt)
+                    t = _sddmm_chunk_matmul(
+                        msg_buf[slot], y_ref[:], precision, msg_dtype
+                    )
+                    contrib = jnp.sum(
+                        jnp.where(stair, t, 0.0), axis=1
+                    )[None, :]  # (1, C)
+
+                    @pl.when(rmw)
+                    def _():
+                        pltpu.make_async_copy(
+                            out_ref.at[pl.ds(row, 1), :], acc_buf, wsem
+                        ).wait()
+                        acc_buf[:] = acc_buf[:] + contrib
+
+                    @pl.when(jnp.logical_not(rmw))
+                    def _():
+                        acc_buf[:] = contrib
+
+                    wr = pltpu.make_async_copy(
+                        acc_buf, out_ref.at[pl.ds(row, 1), :], wsem
+                    )
+                    wr.start()
+                    wr.wait()
+                    return 0
+
+                jax.lax.fori_loop(c0, c1, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(K)]
+        + [
+            pl.BlockSpec(
+                (ROW_TILE, F), lambda i, bnd: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, C, F), msg_dtype),
+            pltpu.VMEM((1, ROW_TILE), jnp.int32),
+            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    passes = 1 if msg_dtype != jnp.float32 else (
+        6 if precision == "highest" else 3
+    )
+    m_total = sum(int(mk.shape[0]) for mk in msgs)
+    flat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((total_chunks, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_total * ROW_TILE * F * passes,
+            bytes_accessed=m_total * F * np.dtype(msg_dtype).itemsize
+            + n_tiles * ROW_TILE * F * 4 + m_total * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bounds, offs2d, *msgs, y).reshape(-1)
+    # Chunks past each band's written range [0, cdiv(real_mk, C)) are never
+    # touched by any tile — pure padding left as garbage.  Mask them: the
+    # band's real edge count is bounds[k, -1] (last tile's end), so a flat
+    # slot is valid iff its band-local position < round_up(real_mk, C).
+    # (Positions inside written chunks past real_mk are staircase-zeroed by
+    # the kernel itself.)
+    pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    valid = jnp.zeros(flat.shape[0], bool)
+    b = 0
+    for k, mk in enumerate(msgs):
+        mk_pad = int(mk.shape[0])
+        written = ((bounds[k, -1] + C - 1) // C) * C
+        local = pos - b
+        valid = valid | ((local >= 0) & (local < written))
+        b += mk_pad
+    return jnp.where(valid, flat, 0.0)

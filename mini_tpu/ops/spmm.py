@@ -11,9 +11,8 @@ Implementations:
   ~3 ns/row) + the staircase one-hot Pallas MXU kernel
   (ops/pallas/spmm_banded.py) over the statically re-grouped edge streams
   (graph/banded.py).  Differentiable in ``x`` (the backward pass is the
-  opposite-direction banded SpMM); NOT differentiable in the edge
-  weights — weight cotangents are zero (GAT-style attention training uses
-  its own path).
+  opposite-direction banded SpMM) AND in the edge weights (the weight
+  cotangent is the banded SDDMM kernel: dw[e] = <go[dst e], x[src e]>).
 * ``pallas_onehot``: the round-1 kernel (gather + dst-id one-hot matmul),
   kept for comparison benchmarks.
 
@@ -150,12 +149,47 @@ def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret):
     raise ValueError(f"unknown precision {precision!r} for {x.dtype}")
 
 
+def _gather_bands(x, layout: BandedLayout, precision):
+    """The K unweighted band gathers (the fwd's message gathers minus the
+    weight multiply), with the same precision-driven dtype as the fwd."""
+    dev = layout.dev()
+    if precision == "fast" and x.dtype == jnp.float32:
+        x = x.astype(jnp.bfloat16)
+    out = []
+    for k in range(layout.K):
+        lo = k * layout.band_rows
+        hi = min(lo + layout.band_rows, layout.n_pad)
+        out.append(x[lo:hi][dev["ids"][k]])
+    return out
+
+
+def _weight_cotangent(x, go, layout: BandedLayout, precision, interpret):
+    """dw[e] = <go[dst e], x_band[ids e]> per banded slot, via the banded
+    SDDMM kernel; returns the K-tuple matching the fwd's w_f structure."""
+    from mini_tpu.ops.pallas.spmm_banded import banded_sddmm
+
+    dev = layout.dev()
+    msgs = _gather_bands(x, layout, precision)
+    flat = banded_sddmm(
+        dev["bounds"], dev["offs2d"], msgs, go,
+        precision=precision if precision != "fast" else "split",
+        interpret=interpret,
+    )
+    out, pos = [], 0
+    for m in msgs:
+        out.append(flat[pos: pos + m.shape[0]])
+        pos += int(m.shape[0])
+    return tuple(out)
+
+
 def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret):
     """custom_vjp wrapper: d/dx of a pull-SpMM is the push-SpMM of the
-    cotangent with the same per-edge weights (and vice versa) — both ride
-    the banded fast path.  Weight cotangents are ZERO by design (see
-    module docstring).  Layout index arrays are closed over as constants
-    (they are never traced); only float inputs are vjp arguments."""
+    cotangent with the same per-edge weights (and vice versa), and d/dw is
+    the banded SDDMM of (cotangent, x) — both ride the banded fast path.
+    ``w_b`` (the opposite-direction copy of the weights) does not enter the
+    forward value, so its cotangent is exactly zero.  Layout index arrays
+    are closed over as constants (they are never traced); only float inputs
+    are vjp arguments."""
     key = (id(layout_f), id(layout_b), precision, interpret)
     if key in _DIFF_CACHE:
         return _DIFF_CACHE[key]
@@ -165,18 +199,21 @@ def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret):
         return _apply_banded(x, layout_f, w_f, precision, interpret)
 
     def fwd(x, w_f, w_b):
-        return f(x, w_f, w_b), (w_f, w_b)
+        return f(x, w_f, w_b), (x, w_f, w_b)
 
     def bwd(res, go):
-        w_f, w_b = res
+        x, w_f, w_b = res
         if layout_b is None:
             raise NotImplementedError(
                 "backward banded SpMM needs the opposite-direction layout"
             )
         gx = _apply_banded(go, layout_b, w_b, precision, interpret)
-        zf = tuple(jnp.zeros_like(w) for w in w_f)
+        dw_f = _weight_cotangent(x, go, layout_f, precision, interpret)
+        dw_f = tuple(
+            d.astype(w.dtype) for d, w in zip(dw_f, w_f)
+        )
         zb = tuple(jnp.zeros_like(w) for w in w_b)
-        return gx, zf, zb
+        return gx.astype(x.dtype), dw_f, zb
 
     f.defvjp(fwd, bwd)
     _DIFF_CACHE[key] = f
@@ -293,14 +330,33 @@ def sddmm(
     xl: jnp.ndarray,
     xr: Optional[jnp.ndarray] = None,
     order: str = "csr",
+    impl: str = "auto",
+    precision: str = "split",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Sampled dense-dense product: per-edge <xl[src], xr[dst]> over the
     sparsity pattern — the shape of L-Spar's per-edge similarity step
     (`lspar/lspar_functor.hxx:28-33`) and of GNN edge scoring.
 
     Returns float[m_pad] in the requested edge order.
+
+    ``impl="banded"`` (the TPU default for F >= 32) rides the banded
+    layout: K fast band gathers of one side, the banded SDDMM Pallas
+    kernel against 128-row tiles of the other, and one static-rank sort
+    back to the requested edge order — replacing the two whole-table
+    per-edge gathers of the XLA path (~8 ns/elem each).
     """
     xr = xl if xr is None else xr
+    if impl == "auto":
+        impl = (
+            "banded"
+            if (xl.ndim == 2 and _banded_ok(g, xl) and xl.shape == xr.shape)
+            else "xla"
+        )
+    if impl == "banded":
+        out = _sddmm_banded_impl(g, xl, xr, order, precision, interpret)
+        if out is not None:
+            return out
     if order == "csr":
         src, dst, mask = g.csr_srcs, g.csr_dsts, g.edge_mask
     elif order == "csc":
@@ -312,3 +368,42 @@ def sddmm(
     else:
         vals = jnp.sum(xl[src] * xr[dst], axis=-1)
     return jnp.where(mask, vals, 0)
+
+
+def _sddmm_banded_impl(g, xl, xr, order, precision, interpret):
+    """Banded SDDMM: the ``order``-matching layout's base order is exactly
+    the requested output order, so one ``permute_from_bands`` finishes.
+
+    pull layout (CSC base): messages gather XL by src band, tiles are XR
+    rows by dst.  push layout (CSR base): messages gather XR by dst band,
+    tiles are XL rows by src.  Both compute <xl[src e], xr[dst e]>.
+    """
+    from mini_tpu.ops.pallas.spmm_banded import banded_sddmm
+
+    F = xl.shape[-1]
+    if F % 128 != 0:
+        F_pad = ((F + 127) // 128) * 128
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], F_pad - F), a.dtype)], axis=1
+        )
+        return _sddmm_banded_impl(
+            g, pad(xl), pad(xr), order, precision, interpret
+        )
+    direction = "pull" if order == "csc" else "push"
+    row_bytes = F * 4
+    layout = get_layout(g, direction, row_bytes=row_bytes)
+    if layout is None or xl.shape[0] != layout.n_pad:
+        return None
+    gathered, tiles = (xl, xr) if direction == "pull" else (xr, xl)
+    msgs = _gather_bands(gathered, layout, precision)
+    dev = layout.dev()
+    flat = banded_sddmm(
+        dev["bounds"], dev["offs2d"], msgs,
+        tiles.astype(msgs[0].dtype)
+        if msgs[0].dtype == jnp.bfloat16 else tiles,
+        precision=precision if precision != "fast" else "split",
+        interpret=interpret,
+    )
+    vals = layout.permute_from_bands(flat)
+    mask = g.edge_mask if order == "csr" else g.edge_mask_csc
+    return jnp.where(mask, vals, 0.0)
