@@ -87,10 +87,13 @@ def gat_forward(
     x: jnp.ndarray,
     negative_slope: float = 0.2,
 ) -> jnp.ndarray:
+    import math
+
     h = x
     n_layers = len(params)
     for i, layer in enumerate(params):
         n_heads = layer["w"].shape[0]
+        d = layer["w"].shape[2]
         hws = [
             jnp.dot(h, layer["w"][hd], preferred_element_type=jnp.float32)
             for hd in range(n_heads)
@@ -102,13 +105,37 @@ def gat_forward(
         )
         if n_heads == 1:
             e_src = (e_src,)
-        heads = []
+        alphas = []
         for hd in range(n_heads):
             s_dst = hws[hd] @ layer["a_dst"][hd]
             e = e_src[hd] + dst_vals_to_csc(g, s_dst)
             e = jax.nn.leaky_relu(e, negative_slope)
-            alpha = segment_softmax_by_dst(g, e)
-            heads.append(_spmm_lane_padded(g, hws[hd], alpha))
+            alphas.append(segment_softmax_by_dst(g, e))
+        if n_heads == 1:
+            heads = [_spmm_lane_padded(g, hws[0], alphas[0])]
+        else:
+            # batch ALL heads into one blockwise SpMM: each head's dim is
+            # padded so the concat is lane-aligned, one gather + one MXU
+            # kernel pass covers every head (was: one lane-padded SpMM per
+            # head, 75% MXU waste at d=32..64)
+            step = 128 // math.gcd(n_heads, 128)
+            d_pad = -(-d // step) * step
+            if d_pad != d:
+                hws_p = [
+                    jnp.pad(hw, ((0, 0), (0, d_pad - d))) for hw in hws
+                ]
+            else:
+                hws_p = hws
+            hw_cat = jnp.concatenate(hws_p, axis=-1)
+            alpha_cat = jnp.stack(alphas, axis=-1)
+            out = spmm(
+                g, hw_cat, direction="pull", weights=alpha_cat,
+                heads=n_heads,
+            )
+            heads = [
+                out[:, hd * d_pad: hd * d_pad + d]
+                for hd in range(n_heads)
+            ]
         if i < n_layers - 1:
             h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
         else:

@@ -45,6 +45,7 @@ def spmm(
     weights_banded_bwd: Optional[Sequence[jnp.ndarray]] = None,
     precision: str = "auto",
     interpret: bool = False,
+    heads: int = 1,
 ) -> jnp.ndarray:
     """Sparse (adjacency) times dense (features): [n_pad, F] -> [n_pad, F].
 
@@ -52,6 +53,14 @@ def spmm(
     order of the chosen direction (CSC for pull, CSR for push).
     ``weights_banded`` (a K-tuple in the banded layout's order, e.g. from
     ``BandedLayout.permute_to_bands``) skips the per-call reorder sort.
+
+    ``heads > 1`` is the blockwise multi-head form (GAT): x is the head
+    CONCAT [n_pad, H*d], weights is [m_pad, H], and head h's feature block
+    is scaled by its own per-edge weight column —
+
+        out[v, h*d:(h+1)*d] = sum_e w[e, h] * x[src e, h*d:(h+1)*d]
+
+    — so all heads ride ONE gather + ONE MXU kernel pass instead of H.
     """
     if x.ndim == 1:
         return spmm(
@@ -60,6 +69,9 @@ def spmm(
             weights_banded_bwd=weights_banded_bwd, precision=precision,
             interpret=interpret,
         )[:, 0]
+    if heads > 1:
+        assert weights is not None and weights.ndim == 2
+        assert x.shape[-1] % heads == 0
 
     if impl == "auto":
         impl = "banded" if (op == "sum" and _banded_ok(g, x)) else "xla"
@@ -69,7 +81,7 @@ def spmm(
     if impl == "banded" and op == "sum":
         out = _spmm_banded(
             g, x, direction, weights, weights_banded, precision,
-            interpret, weights_banded_bwd=weights_banded_bwd,
+            interpret, weights_banded_bwd=weights_banded_bwd, heads=heads,
         )
         if out is not None:
             return out
@@ -87,14 +99,21 @@ def spmm(
         raise ValueError(f"unknown direction {direction!r}")
 
     if impl == "pallas_onehot":
-        if op == "sum" and _shapes_ok(g, x):
+        if op == "sum" and heads == 1 and _shapes_ok(g, x):
             from mini_tpu.ops.pallas.spmm_kernel import spmm_pallas
 
             offsets = g.col_offsets if direction == "pull" else g.row_offsets
             return spmm_pallas(offsets, gather_ids, w, x, seg_ids=seg)
         impl = "xla"
 
-    msgs = x[gather_ids] * w[:, None].astype(x.dtype)
+    if heads > 1:
+        m, F = gather_ids.shape[0], x.shape[-1]
+        msgs = (
+            x[gather_ids].reshape(m, heads, F // heads)
+            * w[:, :, None].astype(x.dtype)
+        ).reshape(m, F)
+    else:
+        msgs = x[gather_ids] * w[:, None].astype(x.dtype)
     return segment_reduce(msgs, seg, g.n_pad, op, mask=mask[:, None])
 
 
@@ -103,8 +122,10 @@ def spmm(
 _DIFF_CACHE: dict = {}
 
 
-def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret):
-    """Band gathers + staircase kernel.  w_list: K arrays in banded order.
+def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret,
+                  heads: int = 1):
+    """Band gathers + staircase kernel.  w_list: K arrays in banded order
+    ([mk] scalars, or [mk, H] per-head columns scaling F//H blocks).
 
     Precision modes (measured on v5e, rmat16 2M edges x F=128, in-loop):
 
@@ -128,13 +149,21 @@ def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret):
         x = x.astype(jnp.bfloat16)
 
     if x.dtype == jnp.bfloat16 or precision in ("split", "highest"):
+        F = x.shape[-1]
         msgs = []
         for k in range(layout.K):
             lo, hi = band_slice(k)
-            msgs.append(
-                x[lo:hi][dev["ids"][k]]
-                * w_list[k][:, None].astype(x.dtype)
-            )
+            xg = x[lo:hi][dev["ids"][k]]
+            w = w_list[k]
+            if heads > 1:
+                mk = xg.shape[0]
+                xg = (
+                    xg.reshape(mk, heads, F // heads)
+                    * w[:, :, None].astype(x.dtype)
+                ).reshape(mk, F)
+            else:
+                xg = xg * w[:, None].astype(x.dtype)
+            msgs.append(xg)
         return banded_segment_sum(
             dev["bounds"], dev["offs2d"], msgs, precision=precision,
             interpret=interpret,
@@ -163,26 +192,55 @@ def _gather_bands(x, layout: BandedLayout, precision):
     return out
 
 
-def _weight_cotangent(x, go, layout: BandedLayout, precision, interpret):
+def _weight_cotangent(x, go, layout: BandedLayout, precision, interpret,
+                      heads: int = 1):
     """dw[e] = <go[dst e], x_band[ids e]> per banded slot, via the banded
-    SDDMM kernel; returns the K-tuple matching the fwd's w_f structure."""
+    SDDMM kernel; returns the K-tuple matching the fwd's w_f structure
+    ([mk] scalars, or [mk, H] with one SDDMM pass per head block)."""
     from mini_tpu.ops.pallas.spmm_banded import banded_sddmm
 
     dev = layout.dev()
     msgs = _gather_bands(x, layout, precision)
-    flat = banded_sddmm(
-        dev["bounds"], dev["offs2d"], msgs, go,
-        precision=precision if precision != "fast" else "split",
-        interpret=interpret,
+    prec = precision if precision != "fast" else "split"
+
+    def run(block_msgs, y):
+        flat = banded_sddmm(
+            dev["bounds"], dev["offs2d"], block_msgs, y,
+            precision=prec, interpret=interpret,
+        )
+        out, pos = [], 0
+        for m in block_msgs:
+            out.append(flat[pos: pos + m.shape[0]])
+            pos += int(m.shape[0])
+        return out
+
+    if heads == 1:
+        return tuple(run(msgs, go))
+
+    F = x.shape[-1]
+    d = F // heads
+    d_pad = ((d + 127) // 128) * 128
+
+    def pad_cols(a):
+        if a.shape[-1] == d_pad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], d_pad - a.shape[-1]), a.dtype)],
+            axis=-1,
+        )
+
+    per_head = []
+    for h in range(heads):
+        blk = [pad_cols(m[:, h * d: (h + 1) * d]) for m in msgs]
+        per_head.append(run(blk, pad_cols(go[:, h * d: (h + 1) * d])))
+    return tuple(
+        jnp.stack([per_head[h][k] for h in range(heads)], axis=1)
+        for k in range(layout.K)
     )
-    out, pos = [], 0
-    for m in msgs:
-        out.append(flat[pos: pos + m.shape[0]])
-        pos += int(m.shape[0])
-    return tuple(out)
 
 
-def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret):
+def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret,
+                  heads: int = 1):
     """custom_vjp wrapper: d/dx of a pull-SpMM is the push-SpMM of the
     cotangent with the same per-edge weights (and vice versa), and d/dw is
     the banded SDDMM of (cotangent, x) — both ride the banded fast path.
@@ -190,13 +248,13 @@ def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret):
     forward value, so its cotangent is exactly zero.  Layout index arrays
     are closed over as constants (they are never traced); only float inputs
     are vjp arguments."""
-    key = (id(layout_f), id(layout_b), precision, interpret)
+    key = (id(layout_f), id(layout_b), precision, interpret, heads)
     if key in _DIFF_CACHE:
         return _DIFF_CACHE[key]
 
     @jax.custom_vjp
     def f(x, w_f, w_b):
-        return _apply_banded(x, layout_f, w_f, precision, interpret)
+        return _apply_banded(x, layout_f, w_f, precision, interpret, heads)
 
     def fwd(x, w_f, w_b):
         return f(x, w_f, w_b), (x, w_f, w_b)
@@ -207,8 +265,10 @@ def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret):
             raise NotImplementedError(
                 "backward banded SpMM needs the opposite-direction layout"
             )
-        gx = _apply_banded(go, layout_b, w_b, precision, interpret)
-        dw_f = _weight_cotangent(x, go, layout_f, precision, interpret)
+        gx = _apply_banded(go, layout_b, w_b, precision, interpret, heads)
+        dw_f = _weight_cotangent(
+            x, go, layout_f, precision, interpret, heads
+        )
         dw_f = tuple(
             d.astype(w.dtype) for d, w in zip(dw_f, w_f)
         )
@@ -222,9 +282,15 @@ def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret):
 
 def _spmm_banded(
     g, x, direction, weights, weights_banded, precision, interpret,
-    weights_banded_bwd=None,
+    weights_banded_bwd=None, heads: int = 1,
 ):
+    if heads > 1 and (weights is None and weights_banded is None):
+        return None  # blockwise form needs per-head weights
     if x.shape[-1] % 128 != 0:
+        if heads > 1:
+            # blockwise padding must be per head block — the caller (GAT)
+            # pads each head's dim so the concat is lane-aligned
+            return None
         # pad features to the lane width: the gather is row-count-bound,
         # so a padded banded SpMM still beats the XLA fallback
         F = x.shape[-1]
@@ -265,6 +331,16 @@ def _spmm_banded(
 
     from mini_tpu.ops.permute import apply_fixed_perm
 
+    def band_cols(lay, w):
+        """Banded per-band weights: [mk] scalars or [mk, H] columns."""
+        if heads == 1:
+            return tuple(lay.permute_to_bands(w))
+        cols = [lay.permute_to_bands(w[:, h]) for h in range(heads)]
+        return tuple(
+            jnp.stack([cols[h][k] for h in range(heads)], axis=1)
+            for k in range(lay.K)
+        )
+
     if weights_banded is not None:
         w_f = tuple(weights_banded)
         if weights_banded_bwd is not None:
@@ -274,22 +350,30 @@ def _spmm_banded(
             layout_b = None  # bwd order unknown for pre-banded overrides
     elif weights is not None:
         mask = g.edge_mask_csc if direction == "pull" else g.edge_mask
-        w = jnp.where(mask, weights, 0)
-        w_f = tuple(layout.permute_to_bands(w))
+        w = jnp.where(
+            mask[:, None] if heads > 1 else mask, weights, 0
+        )
+        w_f = band_cols(layout, w)
         if layout_b is not None:
             # reorder the override into the opposite direction's banded
             # order via the static CSR<->CSC rank (one lax.sort).
             if direction == "pull":
                 # need the CSC->CSR rank = inverse of csr_to_csc_rank
                 # (csc_eids is not a valid permutation over pad edges).
-                inv = apply_fixed_perm(
+                perm = apply_fixed_perm(
                     g.csr_to_csc_rank,
                     jnp.arange(g.m_pad, dtype=jnp.int32),
                 )
-                w_other = apply_fixed_perm(inv, w)
             else:
-                w_other = apply_fixed_perm(g.csr_to_csc_rank, w)
-            w_b = tuple(layout_b.permute_to_bands(w_other))
+                perm = g.csr_to_csc_rank
+            if heads == 1:
+                w_other = apply_fixed_perm(perm, w)
+            else:
+                outs = apply_fixed_perm(
+                    perm, *[w[:, h] for h in range(heads)]
+                )
+                w_other = jnp.stack(outs, axis=1)
+            w_b = band_cols(layout_b, w_other)
         else:
             w_b = w_f
     else:
@@ -300,7 +384,7 @@ def _spmm_banded(
             else w_f
         )
 
-    fn = _make_diff_fn(layout, layout_b, precision, interpret)
+    fn = _make_diff_fn(layout, layout_b, precision, interpret, heads)
     return fn(x, w_f, w_b)
 
 

@@ -329,6 +329,41 @@ def test_spmm_banded_joint_grad_x_and_w(setup):
         assert np.abs(np.asarray(b) - np.asarray(r)).max() / scale < 1e-3
 
 
+def test_spmm_blockwise_heads(setup):
+    """Multi-head blockwise SpMM (GAT batching): banded vs XLA fallback,
+    forward and joint (x, w) gradients."""
+    hg, gs, x = setup  # x: [n_pad, 128] = 2 heads x 64
+    H, d = 2, 64
+    rng = np.random.RandomState(12)
+    w = jnp.asarray(rng.rand(gs.m_pad, H).astype(np.float32) + 0.1)
+
+    out_b = _spmm_banded(gs, x, "pull", w, None, "split", True, heads=H)
+    out_x = spmm(gs, x, direction="pull", weights=w, impl="xla", heads=H)
+    # blockwise magnitude: |w_h| x |x block|
+    mag = np.asarray(
+        spmm(gs, jnp.abs(x), direction="pull", weights=jnp.abs(w),
+             impl="xla", heads=H)
+    ) + 1e-6
+    assert _relerr(out_b, out_x, mag) < 3e-4
+
+    def loss(args, banded):
+        xx, ww = args
+        if banded:
+            o = _spmm_banded(gs, xx, "pull", ww, None, "split", True,
+                             heads=H)
+        else:
+            o = spmm(gs, xx, direction="pull", weights=ww, impl="xla",
+                     heads=H)
+        return jnp.sum(jnp.sin(o))
+
+    gb = jax.grad(lambda a: loss(a, True))((x, w))
+    gx = jax.grad(lambda a: loss(a, False))((x, w))
+    for b, r in zip(jax.tree_util.tree_leaves(gb),
+                    jax.tree_util.tree_leaves(gx)):
+        scale = np.abs(np.asarray(r)).max() + 1e-6
+        assert np.abs(np.asarray(b) - np.asarray(r)).max() / scale < 1e-3
+
+
 def test_spmm_banded_fast_routes_bf16_pipeline(setup):
     hg, gs, x = setup
     out = _spmm_banded(gs, x, "pull", None, None, "fast", True)
