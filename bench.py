@@ -96,26 +96,74 @@ def main():
     }
 
     # ---------------- GCN forward (SpMM path) ----------------
+    # Both precisions are first-class: f32 ("split", ~1e-5 error) is the
+    # accurate default, bf16 messages are the training fast path.  Keys:
+    # gcn_xla / gcn_pallas (f32 banded) / gcn_pallas_bf16.
     F = 128
     norm = gcn_normalize(gs)
     params = gcn_init(jax.random.PRNGKey(0), [F, F, 32])
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(gs.n_pad, F).astype(np.float32))
-    for impl in ("xla", "pallas"):
-        if impl == "pallas" and jax.default_backend() != "tpu":
-            continue
+    gcn_variants = [("xla", "xla", None)]
+    if jax.default_backend() == "tpu":
+        gcn_variants += [
+            ("pallas", "banded", None),
+            ("pallas_bf16", "banded", jnp.bfloat16),
+        ]
+    for name, impl, mdt in gcn_variants:
         try:
             fwd = jax.jit(
-                lambda p, xx: gcn_forward(p, gs, norm, xx, impl=impl)
+                lambda p, xx, impl=impl, mdt=mdt: gcn_forward(
+                    p, gs, norm, xx, impl=impl, message_dtype=mdt
+                )
             )
             t = time_fn(lambda: fwd(params, x), warmup=1, repeat=3)
-            results[f"gcn_{impl}"] = {
+            results[f"gcn_{name}"] = {
                 "time_ms": t.min_s * 1e3,
                 "agg_edges_per_s": 2 * hg.m / t.min_s,
-                "spmm_gflops": 2 * 2 * hg.m * F / t.min_s / 1e9,
             }
         except Exception as exc:  # keep the headline alive
-            results[f"gcn_{impl}"] = {"error": repr(exc)[:300]}
+            results[f"gcn_{name}"] = {"error": repr(exc)[:300]}
+
+    # ---------------- SpMM per-impl/per-dtype (in-loop) ----------------
+    # Protocol: ITERS data-dependent calls inside ONE jitted fori_loop,
+    # per-op = total / ITERS (see bench_spmm.py for the full sweep and
+    # the written protocol definition).
+    from mini_tpu.ops.spmm import spmm as _spmm
+
+    spmm_variants = [("xla_f32", "xla", "auto", jnp.float32)]
+    if jax.default_backend() == "tpu":
+        spmm_variants += [
+            ("onehot_f32", "pallas_onehot", "auto", jnp.float32),
+            ("banded_f32_split", "banded", "split", jnp.float32),
+            ("banded_bf16", "banded", "auto", jnp.bfloat16),
+        ]
+    ITERS = 10
+    results["spmm_inloop"] = {"iters": ITERS, "F": F}
+    for label, impl, precision, dtype in spmm_variants:
+        x0 = x.astype(dtype)
+
+        def step(acc, impl=impl, precision=precision, dtype=dtype):
+            out = _spmm(gs, acc, direction="pull", impl=impl,
+                        precision=precision)
+            return (out * jnp.float32(2e-4)).astype(dtype)
+
+        run = jax.jit(
+            lambda x0, step=step: jax.lax.fori_loop(
+                0, ITERS, lambda i, a: step(a), x0
+            )
+        )
+        try:
+            t = time_fn(lambda: run(x0), warmup=1, repeat=2)
+            item = 4 if dtype == jnp.float32 else 2
+            per_op_s = t.min_s / ITERS
+            bytes_min = gs.m_pad * F * item + gs.n_pad * F * 4
+            results["spmm_inloop"][label] = {
+                "per_op_ms": per_op_s * 1e3,
+                "min_traffic_gbps": bytes_min / per_op_s / 1e9,
+            }
+        except Exception as exc:
+            results["spmm_inloop"][label] = {"error": repr(exc)[:300]}
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)

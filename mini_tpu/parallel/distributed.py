@@ -8,8 +8,14 @@ shard-local (see `partition.py`), so the only cross-chip traffic is
 * the frontier bitmap (BFS/SSSP: n bits, all-gathered per iteration), or
 * the feature slab (SpMM/GCN: rows of H needed for remote sources).
 
-v1 exchanges the full slab with `all_gather`; the boundary-only all-to-all
-overlap is the planned optimization (BASELINE.json north_star).
+Every traversal here takes an optional ``plan`` (a
+`mini_tpu.parallel.halo.HaloPlan`): with it, the per-iteration exchange is
+**boundary-only** — each shard sends only the rows other shards' in-edges
+actually read (one all-to-all of D x H slabs, H = max boundary rows)
+instead of all-gathering the full n-vector; edges then read from the
+[halo | own] buffer through the plan's static ``src_slot`` map.  Without a
+plan the v1 full-slab ``all_gather`` path is used (kept for comparison —
+`bench_scaling.py` measures both).
 """
 
 from __future__ import annotations
@@ -89,6 +95,49 @@ def shard_to_mesh(
     )
 
 
+def _plan_args(pg: PartitionedGraph, plan, mesh, spec):
+    """Device-put the halo plan's static index maps (or 1-wide dummies when
+    no plan is given; the traced branch that would read them is dead)."""
+    D = pg.num_shards
+    if plan is None:
+        send_idx = np.zeros((D, 1, 1), np.int32)
+        src_slot = np.zeros((D, 1), np.int32)
+    else:
+        send_idx, src_slot = plan.send_idx, plan.src_slot
+    put = NamedSharding(mesh, spec)
+    return (
+        jax.device_put(jnp.asarray(send_idx), put),
+        jax.device_put(jnp.asarray(src_slot), put),
+    )
+
+
+def _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot):
+    """Per-iteration exchange: returns read(vals_loc) -> per-edge values.
+
+    With a plan: gather this shard's boundary rows, one all-to-all of
+    [D, H] slabs (`halo.exchange_slabs`), read edges from [halo | own]
+    through the static src_slot map — wire traffic D*H rows.  Without:
+    all-gather the full n-vector and read by global source id.
+    """
+    from mini_tpu.parallel.halo import exchange_slabs
+
+    if not use_plan:
+        def read(vals_loc):
+            full = jax.lax.all_gather(vals_loc, axis, tiled=True)
+            return full[esrc]
+        return read
+
+    D, H = send_idx.shape[1], send_idx.shape[2]
+
+    def read(vals_loc):
+        rows = vals_loc[send_idx[0].reshape(-1)].reshape(D, H, 1)
+        halo = exchange_slabs(rows, axis)  # [D, H, 1] sender-major
+        buf = jnp.concatenate([halo.reshape(D * H), vals_loc])
+        return buf[src_slot[0]]
+
+    return read
+
+
 def dist_bfs(
     pg: PartitionedGraph,
     shards: DeviceShards,
@@ -96,72 +145,69 @@ def dist_bfs(
     mesh: Mesh,
     axis: str = "graph",
     max_iter: int | None = None,
+    plan=None,
 ):
     """Distributed BFS: labels sharded by dst range; per iteration each shard
-    reduces its local in-edges and the new frontier is all-gathered (the
-    frontier is the only wire traffic)."""
+    reduces its local in-edges against the exchanged frontier — boundary-only
+    slabs with a ``plan`` (HaloPlan), full all-gather without."""
     n_pad, n_loc = pg.n_pad, pg.n_loc
+    D = pg.num_shards
     if max_iter is None:
         max_iter = n_pad
-
-    def local_step(g: DeviceShards, labels_loc, frontier, it):
-        # g.* have the leading shard axis stripped by shard_map
-        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
-        emask = g.edge_mask[0]
-        unvisited_loc = labels_loc[0] == -1
-        active = frontier[esrc] & unvisited_loc[edst] & emask
-        new_vis = segment_reduce(active, edst, n_loc, "or")
-        new_pred = segment_reduce(
-            esrc, edst, n_loc, "min", mask=active
-        ).astype(jnp.int32)
-        labels = jnp.where(new_vis, it + 1, labels_loc[0])
-        frontier_next = jax.lax.all_gather(
-            new_vis, axis, tiled=True
-        )  # [n_pad] replicated
-        return labels[None], new_pred[None], frontier_next
+    use_plan = plan is not None
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
             jax.tree_util.tree_map(lambda _: P(axis), shards),
-            P(axis),
-            P(axis),
-            P(None),
+            P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(axis), P(axis)),
     )
-    def run(g, labels_loc, preds_loc, frontier0):
-        # the replicated frontier input is unvarying; the loop carries a
-        # device-computed (varying) frontier — align the vma types up front
-        frontier0 = jax.lax.pcast(frontier0, axis, to="varying")
+    def run(g, labels_loc, preds_loc, vis0, send_idx, src_slot):
+        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        read = _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot)
 
         def body(state):
-            labels, preds, frontier, it = state
-            new_labels, new_preds, frontier_next = local_step(
-                g, labels, frontier, it
-            )
-            preds = jnp.where(new_labels != labels, new_preds, preds)
-            return new_labels, preds, frontier_next, it + 1
+            labels, preds, vis, it = state
+            unvisited = labels == -1
+            active = read(vis) & unvisited[edst] & emask
+            new_vis = segment_reduce(active, edst, n_loc, "or")
+            new_pred = segment_reduce(
+                esrc, edst, n_loc, "min", mask=active
+            ).astype(jnp.int32)
+            labels = jnp.where(new_vis, it + 1, labels)
+            preds = jnp.where(new_vis, new_pred, preds)
+            return labels, preds, new_vis, it + 1
 
         def cond(state):
-            _, _, frontier, it = state
-            return jnp.any(frontier) & (it < max_iter)
+            _, _, vis, it = state
+            alive = jax.lax.psum(
+                jnp.any(vis).astype(jnp.int32), axis
+            )
+            return (alive > 0) & (it < max_iter)
 
-        labels, preds, _, it = jax.lax.while_loop(
-            cond, body, (labels_loc, preds_loc, frontier0, jnp.int32(0))
+        labels, preds, _, _ = jax.lax.while_loop(
+            cond, body,
+            (labels_loc[0], preds_loc[0], vis0[0], jnp.int32(0)),
         )
-        return labels, preds
+        return labels[None], preds[None]
 
-    labels0 = jnp.full((pg.num_shards, n_loc), -1, jnp.int32)
+    labels0 = jnp.full((D, n_loc), -1, jnp.int32)
     labels0 = labels0.at[src // n_loc, src % n_loc].set(0)
-    preds0 = jnp.full((pg.num_shards, n_loc), -1, jnp.int32)
-    frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
+    preds0 = jnp.full((D, n_loc), -1, jnp.int32)
+    vis0 = jnp.zeros((D, n_loc), jnp.bool_)
+    vis0 = vis0.at[src // n_loc, src % n_loc].set(True)
     spec = NamedSharding(mesh, P(axis))
     labels0 = jax.device_put(labels0, spec)
     preds0 = jax.device_put(preds0, spec)
-    frontier0 = jax.device_put(frontier0, NamedSharding(mesh, P()))
-    labels, preds = jax.jit(run)(shards, labels0, preds0, frontier0)
+    vis0 = jax.device_put(vis0, spec)
+    send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
+    labels, preds = jax.jit(run)(
+        shards, labels0, preds0, vis0, send_idx, src_slot
+    )
     return labels.reshape(-1), preds.reshape(-1)
 
 
@@ -172,55 +218,65 @@ def dist_sssp(
     mesh: Mesh,
     axis: str = "graph",
     max_iter: int | None = None,
+    plan=None,
 ):
     """Distributed Bellman-Ford: distances sharded by dst range; per
-    iteration each shard relaxes its local in-edges against the
-    all-gathered frontier distances (f32 segmented min — deterministic and
-    bitwise-equal to the single-chip path)."""
+    iteration each shard relaxes its local in-edges against the exchanged
+    improved-distance vector (f32 segmented min — deterministic and
+    bitwise-equal to the single-chip path).  ``plan`` switches the
+    exchange to boundary-only slabs."""
     n_pad, n_loc = pg.n_pad, pg.n_loc
+    D = pg.num_shards
     if max_iter is None:
         max_iter = n_pad
     inf = jnp.float32(jnp.inf)
+    use_plan = plan is not None
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(None)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
-    def run(g, dist_loc, dist_masked0):
+    def run(g, dist_loc, masked0, send_idx, src_slot):
         esrc = g.csc_srcs[0]
         edst = g.csc_dsts_local[0]
         ew = g.csc_weights[0]
         emask = g.edge_mask[0]
-        dist_masked0 = jax.lax.pcast(dist_masked0, axis, to="varying")
+        read = _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot)
 
         def body(state):
-            dist, dist_masked_full, it = state
-            cand = jnp.where(emask, dist_masked_full[esrc] + ew, inf)
+            dist, masked, it = state
+            cand = jnp.where(emask, read(masked) + ew, inf)
             best = segment_reduce(cand, edst, n_loc, "min")
             improved = best < dist
             dist = jnp.minimum(dist, best)
             masked = jnp.where(improved, dist, inf)
-            full = jax.lax.all_gather(masked, axis, tiled=True)
-            return dist, full, it + 1
+            return dist, masked, it + 1
 
         def cond(state):
-            _, full, it = state
-            return jnp.any(jnp.isfinite(full)) & (it < max_iter)
+            _, masked, it = state
+            alive = jax.lax.psum(
+                jnp.any(jnp.isfinite(masked)).astype(jnp.int32), axis
+            )
+            return (alive > 0) & (it < max_iter)
 
         dist, _, _ = jax.lax.while_loop(
-            cond, body, (dist_loc[0], dist_masked0, jnp.int32(0))
+            cond, body, (dist_loc[0], masked0[0], jnp.int32(0))
         )
         return dist[None]
 
-    dist0 = jnp.full((pg.num_shards, n_loc), inf, jnp.float32)
+    dist0 = jnp.full((D, n_loc), inf, jnp.float32)
     dist0 = dist0.at[src // n_loc, src % n_loc].set(0.0)
-    masked0 = jnp.full(n_pad, inf, jnp.float32).at[src].set(0.0)
+    masked0 = jnp.full((D, n_loc), inf, jnp.float32)
+    masked0 = masked0.at[src // n_loc, src % n_loc].set(0.0)
     spec = NamedSharding(mesh, P(axis))
     dist0 = jax.device_put(dist0, spec)
-    masked0 = jax.device_put(masked0, NamedSharding(mesh, P()))
-    return jax.jit(run)(shards, dist0, masked0).reshape(-1)
+    masked0 = jax.device_put(masked0, spec)
+    send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
+    return jax.jit(run)(
+        shards, dist0, masked0, send_idx, src_slot
+    ).reshape(-1)
 
 
 def dist_spmm(
@@ -267,34 +323,37 @@ def dist_pagerank(
     damping: float = 0.85,
     tol_rel: float = 0.001,
     max_iter: int = 100,
+    plan=None,
 ):
     """Distributed standard PageRank: ranks sharded by dst range; per
     iteration each shard sums in-neighbor contributions locally after one
-    all-gather of the (rank/out_degree) contribution vector — the direct
+    exchange of the (rank/out_degree) contribution vector — the direct
     distribution of the single-chip ``algorithms/pagerank.py`` standard
-    variant (same update, same freeze-on-convergence semantics)."""
+    variant (same update, same freeze-on-convergence semantics).  ``plan``
+    switches the exchange to boundary-only slabs."""
     n_pad, n_loc, n = pg.n_pad, pg.n_loc, pg.n
     D = pg.num_shards
     inv_n = 1.0 / n
+    use_plan = plan is not None
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P()),
     )
-    def run(g, ranks_loc, real_loc):
+    def run(g, ranks_loc, real_loc, send_idx, src_slot):
         esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
         emask = g.edge_mask[0]
         out_deg = g.out_degrees[0].astype(jnp.float32)
         real = real_loc[0]
+        read = _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot)
 
         def body(state):
             ranks, active, it = state
             contrib = jnp.where(out_deg > 0, ranks / out_deg, 0.0)
-            contrib_full = jax.lax.all_gather(contrib, axis, tiled=True)
             reduced = segment_reduce(
-                jnp.where(emask, contrib_full[esrc], 0.0), edst, n_loc,
+                jnp.where(emask, read(contrib), 0.0), edst, n_loc,
                 "sum",
             )
             dangling = jax.lax.psum(
@@ -325,7 +384,8 @@ def dist_pagerank(
     spec = NamedSharding(mesh, P(axis))
     ranks0 = jax.device_put(jnp.zeros((D, n_loc), jnp.float32), spec)
     real = jax.device_put(real, spec)
-    ranks, it = jax.jit(run)(shards, ranks0, real)
+    send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
+    ranks, it = jax.jit(run)(shards, ranks0, real, send_idx, src_slot)
     return ranks.reshape(-1), it
 
 
@@ -335,32 +395,35 @@ def dist_cc(
     mesh: Mesh,
     axis: str = "graph",
     max_iter: int | None = None,
+    plan=None,
 ):
     """Distributed connected components (weakly connected for directed
     input): min-label propagation over in-edges with the label vector
-    all-gathered per round.  Converges to the same fixpoint as the
-    single-chip ``algorithms/cc.py`` (min vertex id per component)."""
+    exchanged per round (boundary-only with ``plan``).  Converges to the
+    same fixpoint as the single-chip ``algorithms/cc.py`` (min vertex id
+    per component)."""
     n_pad, n_loc, n = pg.n_pad, pg.n_loc, pg.n
     D = pg.num_shards
     if max_iter is None:
         max_iter = n_pad
+    use_plan = plan is not None
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P()),
     )
-    def run(g, labels_loc):
+    def run(g, labels_loc, send_idx, src_slot):
         esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
         emask = g.edge_mask[0]
         big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        read = _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot)
 
         def body(state):
             labels, _, it = state
-            full = jax.lax.all_gather(labels, axis, tiled=True)
             nb_min = segment_reduce(
-                jnp.where(emask, full[esrc], big), edst, n_loc, "min"
+                jnp.where(emask, read(labels), big), edst, n_loc, "min"
             )
             new = jnp.minimum(labels, nb_min)
             changed = jax.lax.psum(
@@ -381,5 +444,6 @@ def dist_cc(
     labels0 = shard_id * n_loc + jnp.arange(n_loc, dtype=jnp.int32)[None, :]
     spec = NamedSharding(mesh, P(axis))
     labels0 = jax.device_put(labels0, spec)
-    labels, it = jax.jit(run)(shards, labels0)
+    send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
+    labels, it = jax.jit(run)(shards, labels0, send_idx, src_slot)
     return labels.reshape(-1), it

@@ -135,3 +135,58 @@ def test_dist_cc_matches_oracle(setup):
     hg, mesh, pg, shards = setup
     got, it = dist_cc(pg, shards, mesh)
     np.testing.assert_array_equal(np.asarray(got)[: hg.n], cc_cpu(hg))
+
+
+# ------------------------- boundary-only (HaloPlan) frontier exchange
+
+
+@pytest.fixture(scope="module")
+def halo_plan(setup):
+    from mini_tpu.parallel.halo import build_halo_plan
+
+    hg, mesh, pg, shards = setup
+    return build_halo_plan(pg)
+
+
+def test_dist_bfs_boundary_exchange_bitwise(setup, halo_plan):
+    """Boundary-only frontier slabs must match the all-gather path (and
+    the CPU oracle) BITWISE — same segmented reductions, less wire."""
+    hg, mesh, pg, shards = setup
+    l_ag, p_ag = dist_bfs(pg, shards, src=0, mesh=mesh)
+    l_bd, p_bd = dist_bfs(pg, shards, src=0, mesh=mesh, plan=halo_plan)
+    np.testing.assert_array_equal(np.asarray(l_ag), np.asarray(l_bd))
+    np.testing.assert_array_equal(np.asarray(p_ag), np.asarray(p_bd))
+    np.testing.assert_array_equal(
+        np.asarray(l_bd)[: hg.n], bfs_cpu(hg, 0)
+    )
+
+
+def test_dist_sssp_boundary_exchange_bitwise(setup, halo_plan):
+    from mini_tpu.parallel import dist_sssp
+    from mini_tpu.algorithms import sssp_cpu
+
+    hg, mesh, pg, shards = setup
+    d_ag = dist_sssp(pg, shards, src=0, mesh=mesh)
+    d_bd = dist_sssp(pg, shards, src=0, mesh=mesh, plan=halo_plan)
+    np.testing.assert_array_equal(np.asarray(d_ag), np.asarray(d_bd))
+    exp, _ = sssp_cpu(hg, 0)
+    np.testing.assert_array_equal(np.asarray(d_bd)[: hg.n], exp)
+
+
+def test_dist_pagerank_boundary_exchange(setup, halo_plan):
+    from mini_tpu.parallel.distributed import dist_pagerank
+
+    hg, mesh, pg, shards = setup
+    r_ag, it_ag = dist_pagerank(pg, shards, mesh)
+    r_bd, it_bd = dist_pagerank(pg, shards, mesh, plan=halo_plan)
+    assert int(it_ag) == int(it_bd)
+    np.testing.assert_array_equal(np.asarray(r_ag), np.asarray(r_bd))
+
+
+def test_dist_cc_boundary_exchange(setup, halo_plan):
+    from mini_tpu.parallel.distributed import dist_cc
+
+    hg, mesh, pg, shards = setup
+    got, _ = dist_cc(pg, shards, mesh, plan=halo_plan)
+    ref, _ = dist_cc(pg, shards, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
