@@ -9,4 +9,12 @@ from mini_tpu.parallel.distributed import (  # noqa: F401
     dist_bfs,
     dist_sssp,
     dist_spmm,
+    make_dist_bfs,
+    make_dist_spmm,
+)
+from mini_tpu.parallel.halo import (  # noqa: F401
+    HaloPlan,
+    build_halo_plan,
+    halo_spmm,
+    make_halo_spmm,
 )

@@ -138,18 +138,16 @@ def _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot):
     return read
 
 
-def dist_bfs(
+def make_dist_bfs(
     pg: PartitionedGraph,
-    shards: DeviceShards,
-    src: int,
     mesh: Mesh,
     axis: str = "graph",
     max_iter: int | None = None,
     plan=None,
 ):
-    """Distributed BFS: labels sharded by dst range; per iteration each shard
-    reduces its local in-edges against the exchanged frontier — boundary-only
-    slabs with a ``plan`` (HaloPlan), full all-gather without."""
+    """Build-once factory: returns ``call(shards, src) -> (labels, preds)``
+    with the shard_map program jitted a single time (repeat calls don't
+    retrace — required for honest weak-scaling timing)."""
     n_pad, n_loc = pg.n_pad, pg.n_loc
     D = pg.num_shards
     if max_iter is None:
@@ -160,7 +158,7 @@ def dist_bfs(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            jax.tree_util.tree_map(lambda _: P(axis), shards),
+            P(axis),  # DeviceShards pytree (spec broadcasts over leaves)
             P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(axis), P(axis)),
@@ -195,20 +193,41 @@ def dist_bfs(
         )
         return labels[None], preds[None]
 
-    labels0 = jnp.full((D, n_loc), -1, jnp.int32)
-    labels0 = labels0.at[src // n_loc, src % n_loc].set(0)
-    preds0 = jnp.full((D, n_loc), -1, jnp.int32)
-    vis0 = jnp.zeros((D, n_loc), jnp.bool_)
-    vis0 = vis0.at[src // n_loc, src % n_loc].set(True)
-    spec = NamedSharding(mesh, P(axis))
-    labels0 = jax.device_put(labels0, spec)
-    preds0 = jax.device_put(preds0, spec)
-    vis0 = jax.device_put(vis0, spec)
+    run_jit = jax.jit(run)
     send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
-    labels, preds = jax.jit(run)(
-        shards, labels0, preds0, vis0, send_idx, src_slot
-    )
-    return labels.reshape(-1), preds.reshape(-1)
+    spec = NamedSharding(mesh, P(axis))
+
+    def call(shards: DeviceShards, src: int):
+        labels0 = jnp.full((D, n_loc), -1, jnp.int32)
+        labels0 = labels0.at[src // n_loc, src % n_loc].set(0)
+        preds0 = jnp.full((D, n_loc), -1, jnp.int32)
+        vis0 = jnp.zeros((D, n_loc), jnp.bool_)
+        vis0 = vis0.at[src // n_loc, src % n_loc].set(True)
+        labels, preds = run_jit(
+            shards,
+            jax.device_put(labels0, spec),
+            jax.device_put(preds0, spec),
+            jax.device_put(vis0, spec),
+            send_idx, src_slot,
+        )
+        return labels.reshape(-1), preds.reshape(-1)
+
+    return call
+
+
+def dist_bfs(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    src: int,
+    mesh: Mesh,
+    axis: str = "graph",
+    max_iter: int | None = None,
+    plan=None,
+):
+    """Distributed BFS: labels sharded by dst range; per iteration each shard
+    reduces its local in-edges against the exchanged frontier — boundary-only
+    slabs with a ``plan`` (HaloPlan), full all-gather without."""
+    return make_dist_bfs(pg, mesh, axis, max_iter, plan)(shards, src)
 
 
 def dist_sssp(
@@ -279,6 +298,45 @@ def dist_sssp(
     ).reshape(-1)
 
 
+def make_dist_spmm(
+    pg: PartitionedGraph,
+    mesh: Mesh,
+    axis: str = "graph",
+    with_weights: bool = False,
+):
+    """Build-once factory for the all-gather distributed pull-SpMM:
+    returns ``call(shards, x[, weights]) -> [D, n_loc, F]``."""
+    n_loc = pg.n_loc
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis),
+            P(axis),
+            P(axis) if with_weights else P(),
+        ),
+        out_specs=P(axis),
+    )
+    def run(g, x_loc, w):
+        x_full = jax.lax.all_gather(x_loc[0], axis, tiled=True)  # [n_pad, F]
+        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
+        ew = (w[0] if with_weights else g.csc_weights[0])
+        msgs = x_full[esrc] * ew[:, None]
+        out = segment_reduce(
+            msgs, edst, n_loc, "sum", mask=g.edge_mask[0][:, None]
+        )
+        return out[None]
+
+    run_jit = jax.jit(run)
+
+    def call(shards, x, weights=None):
+        w_arg = weights if weights is not None else jnp.zeros((1,))
+        return run_jit(shards, x, w_arg)
+
+    return call
+
+
 def dist_spmm(
     pg: PartitionedGraph,
     shards: DeviceShards,
@@ -289,30 +347,9 @@ def dist_spmm(
 ) -> jnp.ndarray:
     """Distributed pull-SpMM: all-gather the feature slab, local gather +
     segment-sum into the owned dst rows.  Returns [D, n_loc, F] sharded."""
-    n_loc = pg.n_loc
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(
-            jax.tree_util.tree_map(lambda _: P(axis), shards),
-            P(axis),
-            P(axis) if weights is not None else P(),
-        ),
-        out_specs=P(axis),
+    return make_dist_spmm(pg, mesh, axis, weights is not None)(
+        shards, x, weights
     )
-    def run(g, x_loc, w):
-        x_full = jax.lax.all_gather(x_loc[0], axis, tiled=True)  # [n_pad, F]
-        esrc, edst = g.csc_srcs[0], g.csc_dsts_local[0]
-        ew = (g.csc_weights[0] if weights is None else w[0])
-        msgs = x_full[esrc] * ew[:, None]
-        out = segment_reduce(
-            msgs, edst, n_loc, "sum", mask=g.edge_mask[0][:, None]
-        )
-        return out[None]
-
-    w_arg = weights if weights is not None else jnp.zeros((1,))
-    return jax.jit(run)(shards, x, w_arg)
 
 
 def dist_pagerank(

@@ -210,25 +210,21 @@ def exchange_slabs(out_rows: jnp.ndarray, axis) -> jnp.ndarray:
     return x.reshape(Dd * Di, H, F)  # sender-flat-major
 
 
-def halo_spmm(
+def make_halo_spmm(
     pg: PartitionedGraph,
-    shards: DeviceShards,
     plan: HaloPlan,
-    x: jnp.ndarray,  # [D, n_loc, F] sharded on axis 0
     mesh: Mesh,
     axis="graph",
     overlap: bool = False,
-) -> jnp.ndarray:
-    """Pull-SpMM with boundary-only all-to-all exchange.
-
-    ``axis`` may be one mesh axis name or a ("dcn", "ici") pair for the
-    hierarchical 2-level exchange.  ``overlap=True`` uses the split-edge
-    layout: the own-edge aggregation has no data dependency on the
-    collective, so XLA overlaps it with the exchange."""
+):
+    """Build-once factory for the boundary-exchange pull-SpMM: returns
+    ``call(shards, x) -> [D, n_loc, F]`` with the plan arrays device-put
+    and the shard_map program jitted a single time."""
     n_loc = pg.n_loc
     D = pg.num_shards
     H = plan.halo_width
     spec = P(axis) if isinstance(axis, str) else P(tuple(axis))
+    put = NamedSharding(mesh, spec)
 
     if overlap:
 
@@ -256,17 +252,18 @@ def halo_spmm(
             )
             return out[None]
 
-        put = NamedSharding(mesh, spec)
-        return jax.jit(run)(
-            jax.device_put(jnp.asarray(plan.send_idx), put),
-            jax.device_put(jnp.asarray(plan.own_slot), put),
-            jax.device_put(jnp.asarray(plan.own_dst), put),
-            jax.device_put(jnp.asarray(plan.own_w), put),
-            jax.device_put(jnp.asarray(plan.halo_slot), put),
-            jax.device_put(jnp.asarray(plan.halo_dst), put),
-            jax.device_put(jnp.asarray(plan.halo_w), put),
-            x,
+        run_jit = jax.jit(run)
+        consts = tuple(
+            jax.device_put(jnp.asarray(a), put)
+            for a in (plan.send_idx, plan.own_slot, plan.own_dst,
+                      plan.own_w, plan.halo_slot, plan.halo_dst,
+                      plan.halo_w)
         )
+
+        def call(shards, x):
+            return run_jit(*consts, x)
+
+        return call
 
     @functools.partial(
         jax.shard_map,
@@ -288,12 +285,34 @@ def halo_spmm(
         )
         return out[None]
 
-    put = NamedSharding(mesh, spec)
-    return jax.jit(run)(
+    run_jit = jax.jit(run)
+    consts = (
         jax.device_put(jnp.asarray(plan.send_idx), put),
         jax.device_put(jnp.asarray(plan.src_slot), put),
-        x,
-        shards.csc_weights,
-        shards.csc_dsts_local,
-        shards.edge_mask,
     )
+
+    def call(shards, x):
+        return run_jit(
+            consts[0], consts[1], x,
+            shards.csc_weights, shards.csc_dsts_local, shards.edge_mask,
+        )
+
+    return call
+
+
+def halo_spmm(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    plan: HaloPlan,
+    x: jnp.ndarray,  # [D, n_loc, F] sharded on axis 0
+    mesh: Mesh,
+    axis="graph",
+    overlap: bool = False,
+) -> jnp.ndarray:
+    """Pull-SpMM with boundary-only all-to-all exchange.
+
+    ``axis`` may be one mesh axis name or a ("dcn", "ici") pair for the
+    hierarchical 2-level exchange.  ``overlap=True`` uses the split-edge
+    layout: the own-edge aggregation has no data dependency on the
+    collective, so XLA overlaps it with the exchange."""
+    return make_halo_spmm(pg, plan, mesh, axis, overlap)(shards, x)
