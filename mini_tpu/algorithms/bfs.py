@@ -35,7 +35,8 @@ from mini_tpu.ops.engine import (
     dst_vals_to_csc,
     reduce_csc_by_dst,
 )
-from mini_tpu.ops.permute import expand_to_edges, apply_fixed_perm_bit
+from mini_tpu.ops.frontier import Frontier
+from mini_tpu.ops.operators import advance, compute
 from mini_tpu.ops.sparse import (
     compact_frontier,
     expand_frontier,
@@ -64,23 +65,24 @@ def _bfs_impl(
     labels0 = jnp.full(n_pad, -1, jnp.int32).at[src].set(0)
     frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
 
-    rank2 = g.csr_to_csc_rank * 2  # loop-invariant; hoisted by XLA
-
     def dense_step(ops):
-        """Full-edge gather-free sweep (expansion + static-rank sort) —
-        the pull/dense direction.  The frontier bit rides inside the sort
-        key (single-array sort, ops/permute.apply_fixed_perm_bit)."""
+        """Full-edge gather-free sweep through the operator layer
+        (ops/operators.advance + compute): the frontier bit rides inside
+        the advance's sort key (ops/engine.src_bits_to_csc), the
+        label==-1 functor is the reference's ``cond_advance``
+        (`bfs/bfs_functor.hxx:26-28`), and the label stamp is the
+        ``compute`` operator — bitwise-identical to (and compiled the
+        same as) the raw engine calls."""
         labels, frontier, it = ops
-        unvisited = labels == -1
-        f_csr = expand_to_edges(
-            frontier.astype(jnp.int32), g.row_offsets, g.m_pad
+        unvisited = dst_vals_to_csc(
+            g, (labels == -1).astype(jnp.int32)
         )
-        f_csc = apply_fixed_perm_bit(rank2, f_csr)
-        unv_csc = dst_vals_to_csc(g, unvisited.astype(jnp.int32))
-        active = (f_csc > 0) & (unv_csc > 0)
-        new_vis = reduce_csc_by_dst(g, active, "or")
-        labels = jnp.where(new_vis, it + 1, labels)
-        return labels, new_vis
+        nxt, _, _ = advance(
+            g, Frontier(frontier), cond=lambda ev: unvisited > 0,
+            direction="push",
+        )
+        labels = compute(nxt, lambda l: jnp.full_like(l, it + 1), labels)
+        return labels, nxt.mask
 
     tiers = default_tiers(g, capv, cape) if cape > 1 else []
 

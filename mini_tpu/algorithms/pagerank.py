@@ -62,21 +62,27 @@ def _pagerank_impl(
         ranks0 = jnp.where(real, 1.0 / g.n, 0.0).astype(jnp.float32)
     active0 = real
 
+    from mini_tpu.ops.operators import neighborhood_reduce
+
+    def _nbr_sum(vertex_vals):
+        # the reference's neighborhood_kernel(pull, plus) shape
+        # (`pr/pr_enactor.hxx:53`) through the operator layer
+        return neighborhood_reduce(
+            g, None, lambda ev: src_vals_to_csc(g, vertex_vals),
+            op="sum", direction="pull",
+        )
+
     def step(state):
         ranks, active, it = state
         if variant == "mini":
-            reduced = reduce_csc_by_dst(
-                g, src_vals_to_csc(g, jnp.where(real, ranks, 0.0)), "sum"
-            )
+            reduced = _nbr_sum(jnp.where(real, ranks, 0.0))
             new = jnp.where(
                 out_deg > 0, 0.15 + damping * reduced / out_deg, 0.15
             )
             new = jnp.where(jnp.isfinite(new), new, 0.0)
         else:
             contrib = jnp.where(out_deg > 0, ranks / out_deg, 0.0)
-            reduced = reduce_csc_by_dst(
-                g, src_vals_to_csc(g, contrib), "sum"
-            )
+            reduced = _nbr_sum(contrib)
             # dangling mass redistributed uniformly
             dangling = jnp.sum(jnp.where(real & (out_deg == 0), ranks, 0.0))
             new = (1.0 - damping) / g.n + damping * (

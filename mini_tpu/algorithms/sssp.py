@@ -59,12 +59,18 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
 
     def dense_step(ops):
         dist, frontier, it = ops
-        # masked distances expand bit-exactly (ops/permute expansion);
-        # non-frontier and ghost sources carry +inf and never win the min
+        # the relax is the neighborhood-reduce operator over the full
+        # vertex set: masked distances expand bit-exactly, so non-frontier
+        # and ghost sources carry +inf and never win the min (replaces the
+        # reference's CAS-loop atomicMin, `sssp/sssp_functor.hxx:20-28`)
+        from mini_tpu.ops.operators import neighborhood_reduce
+
         dist_masked = jnp.where(frontier, dist, inf)
-        d_src = src_vals_to_csc(g, dist_masked)
-        cand = d_src + g.csc_weights  # inf + w == inf
-        best = reduce_csc_by_dst(g, cand, "min")
+        best = neighborhood_reduce(
+            g, None,
+            lambda ev: src_vals_to_csc(g, dist_masked) + ev.weight,
+            op="min", direction="pull",
+        )
         improved = best < dist
         dist = jnp.minimum(dist, best)
         return dist, improved

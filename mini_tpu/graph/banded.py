@@ -83,22 +83,28 @@ class BandedLayout:
         return int(sum(len(i) for i in self.ids))
 
     def dev(self) -> dict:
-        """jnp versions of the layout arrays (cached)."""
+        """jnp versions of the layout arrays (cached).
+
+        Conversion is forced EAGER (``ensure_compile_time_eval``): the
+        first call may happen inside a jit trace, and a cached tracer
+        would leak into every later trace of the same layout."""
         if self._dev is None:
+            import jax
             import jax.numpy as jnp
 
             inv = np.empty_like(self.banded_rank)
             inv[self.banded_rank] = np.arange(
                 self.banded_rank.shape[0], dtype=self.banded_rank.dtype
             )
-            self._dev = dict(
-                ids=[jnp.asarray(i) for i in self.ids],
-                weights=[jnp.asarray(w) for w in self.weights],
-                bounds=jnp.asarray(self.bounds),
-                offs2d=jnp.asarray(self.offs2d),
-                banded_rank=jnp.asarray(self.banded_rank),
-                inv_rank=jnp.asarray(inv),
-            )
+            with jax.ensure_compile_time_eval():
+                self._dev = dict(
+                    ids=[jnp.asarray(i) for i in self.ids],
+                    weights=[jnp.asarray(w) for w in self.weights],
+                    bounds=jnp.asarray(self.bounds),
+                    offs2d=jnp.asarray(self.offs2d),
+                    banded_rank=jnp.asarray(self.banded_rank),
+                    inv_rank=jnp.asarray(inv),
+                )
         return self._dev
 
     def _split_bands(self, flat):

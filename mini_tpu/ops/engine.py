@@ -19,6 +19,7 @@ from mini_tpu.graph.csr import GraphSlice
 from mini_tpu.ops.permute import (
     expand_to_edges,
     apply_fixed_perm,
+    apply_fixed_perm_bit,
     segmented_scan_reduce,
 )
 from mini_tpu.ops.segment import contiguous_segment_sum
@@ -44,6 +45,14 @@ def src_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
         for v in (vertex_vals,) + more
     ]
     return apply_fixed_perm(g.csr_to_csc_rank, *expanded)
+
+
+def src_bits_to_csc(g: GraphSlice, bits: jnp.ndarray) -> jnp.ndarray:
+    """per-edge BOOL value[src(e)] in CSC order, cheaper than
+    :func:`src_vals_to_csc`: the bit packs INTO the sort key (one
+    single-array sort instead of key+payload — ops/permute.py)."""
+    b_csr = expand_to_edges(bits.astype(jnp.int32), g.row_offsets, g.m_pad)
+    return apply_fixed_perm_bit(g.csr_to_csc_rank * 2, b_csr) > 0
 
 
 def dst_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray) -> jnp.ndarray:

@@ -104,15 +104,16 @@ def advance(
     further per-edge updates (the apply phase) over the same sweep.
     """
     from mini_tpu.ops.engine import (
-        src_vals_to_csc,
+        src_bits_to_csc,
         dst_vals_to_csc,
         reduce_csc_by_dst,
     )
 
     if direction == "push":
         ev = edges_by_dst(g)  # reduce by dst: CSC order
-        # gather-free frontier membership (see ops/engine.py)
-        member = src_vals_to_csc(g, frontier.mask.astype(jnp.int32)) > 0
+        # gather-free frontier membership: the bit rides inside the sort
+        # key (single-array sort; see ops/engine.src_bits_to_csc)
+        member = src_bits_to_csc(g, frontier.mask)
         active = member & ev.mask
         if cond is not None:
             active = active & cond(ev)
@@ -164,7 +165,7 @@ def filter_frontier(
 
 def neighborhood_reduce(
     g: GraphSlice,
-    frontier: Frontier,
+    frontier: Optional[Frontier],
     value_fn: Callable[[EdgeView], jnp.ndarray],
     op: str = "sum",
     direction: str = "pull",
@@ -177,6 +178,11 @@ def neighborhood_reduce(
     push (reference ``push=true``): reduce over v's out-edges (CSR) — keyed
     by src.  (`neighborhood.hxx:23-58`.)
 
+    ``frontier=None`` means the full vertex set (the common all-vertices
+    sweep — PageRank's rank sum, SSSP's relax — skips the membership
+    expansion entirely, so routing through this operator costs nothing
+    over the raw engine calls).
+
     Vertices outside the frontier (and zero-degree vertices) receive the
     reduction identity.  Returns a dense [n_pad] array.
     """
@@ -187,21 +193,21 @@ def neighborhood_reduce(
         reduce_csr_by_src,
     )
 
-    fmask = frontier.mask.astype(jnp.int32)
     if direction == "pull":
         ev = edges_by_dst(g)
-        member = dst_vals_to_csc(g, fmask) > 0
         reducer = reduce_csc_by_dst
+        member_fn = dst_vals_to_csc
     elif direction == "push":
         ev = edges_by_src(g)
-        member = src_vals_to_csr(g, fmask) > 0
         reducer = reduce_csr_by_src
+        member_fn = src_vals_to_csr
     else:
         raise ValueError(f"unknown direction {direction!r}")
     vals = value_fn(ev)
-    masked = jnp.where(
-        member & ev.mask, vals, identity_for(op, vals.dtype)
-    )
+    sel = ev.mask
+    if frontier is not None:
+        sel = sel & (member_fn(g, frontier.mask.astype(jnp.int32)) > 0)
+    masked = jnp.where(sel, vals, identity_for(op, vals.dtype))
     out = reducer(g, masked, op)
     if identity is not None:
         ident = identity_for(op, vals.dtype)
