@@ -484,3 +484,165 @@ def dist_cc(
     send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
     labels, it = jax.jit(run)(shards, labels0, send_idx, src_slot)
     return labels.reshape(-1), it
+
+
+def dist_coloring(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    mesh: Mesh,
+    axis: str = "graph",
+    seed: int = 0,
+    hashes_per_round: int = 16,
+    max_iter: int | None = None,
+    plan=None,
+):
+    """Distributed Jones-Plassmann hash coloring, bitwise-matching the
+    single-chip fast path (`algorithms/coloring._coloring_fast_impl`,
+    undirected graphs): priorities derive from STATIC GLOBAL vertex ids
+    (``mix(id ^ salt_round, j)``), so the only exchanged state per round is
+    the one-bit uncolored vector (boundary slabs with ``plan``).  Each of
+    the K hash orders contributes a min- and a max-claim blocker test,
+    reduced as 2K boolean ORs over each vertex's in-edges."""
+    import jax.random as jrandom
+
+    from mini_tpu.algorithms.coloring import _mix
+
+    n_pad, n_loc, n = pg.n_pad, pg.n_loc, pg.n
+    D = pg.num_shards
+    K = int(hashes_per_round)
+    if max_iter is None:
+        max_iter = max(2 * n, 64)
+    use_plan = plan is not None
+    key = jrandom.PRNGKey(seed)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    def run(g, colors_loc, send_idx, src_slot):
+        esrc = g.csc_srcs[0]
+        edst = g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        read = _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot)
+        sidx = jax.lax.axis_index(axis)
+        edst_global = (edst + sidx * n_loc).astype(jnp.uint32)
+        esrc_u = esrc.astype(jnp.uint32)
+        real = (jnp.arange(n_loc) + sidx * n_loc) < n
+
+        def body(state):
+            colors, it = state
+            salt = jrandom.bits(jrandom.fold_in(key, it), (), jnp.uint32)
+            uncolored = (colors == 0) & real
+            unc_e = read(uncolored) & emask
+            new_colors = jnp.zeros(n_loc, jnp.int32)
+            for j in range(K):
+                pe = _mix(esrc_u ^ salt, j)
+                po = _mix(edst_global ^ salt, j)
+                blocked_min = segment_reduce(
+                    unc_e & (pe <= po), edst, n_loc, "or"
+                )
+                blocked_max = segment_reduce(
+                    unc_e & (pe >= po), edst, n_loc, "or"
+                )
+                free = uncolored & (new_colors == 0)
+                is_min = free & ~blocked_min
+                is_max = free & ~blocked_max & ~is_min
+                base = 2 * K * it + 2 * j
+                new_colors = jnp.where(is_min, base + 1, new_colors)
+                new_colors = jnp.where(is_max, base + 2, new_colors)
+            colors = jnp.where(new_colors > 0, new_colors, colors)
+            return colors, it + 1
+
+        def cond(state):
+            colors, it = state
+            left = jax.lax.psum(
+                jnp.sum(((colors == 0) & real).astype(jnp.int32)), axis
+            )
+            return (left > 0) & (it < max_iter)
+
+        colors, it = jax.lax.while_loop(
+            cond, body, (colors_loc[0], jnp.int32(0))
+        )
+        return colors[None], it
+
+    colors0 = jax.device_put(
+        jnp.zeros((D, n_loc), jnp.int32), NamedSharding(mesh, P(axis))
+    )
+    send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
+    colors, it = jax.jit(run)(shards, colors0, send_idx, src_slot)
+    return colors.reshape(-1), it
+
+
+def dist_kcore(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    mesh: Mesh,
+    axis: str = "graph",
+    max_iter: int | None = None,
+    plan=None,
+):
+    """Distributed k-core via the h-index fixpoint (undirected graphs;
+    matches the single-chip `algorithms/kcore._kcore_hindex_impl`
+    bitwise — the synchronous fixpoint iteration is partition-invariant).
+    Per round each shard exchanges its h vector (boundary slabs with
+    ``plan``), sorts its local in-edges by (dst, h desc), and counts
+    positions whose value >= within-segment rank."""
+    n_pad, n_loc, n = pg.n_pad, pg.n_loc, pg.n
+    D = pg.num_shards
+    m_loc = pg.m_loc
+    if max_iter is None:
+        max_iter = n_pad
+    use_plan = plan is not None
+    maxd = int(pg.out_degrees.max(initial=0))
+    bits_v = max(1, (maxd + 1).bit_length())
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    def run(g, h0_loc, send_idx, src_slot):
+        esrc = g.csc_srcs[0]
+        edst = g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        read = _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot)
+        idx = jnp.arange(m_loc, dtype=jnp.int32)
+
+        def h_step(h):
+            val = jnp.where(emask, read(h), -1)  # pads sort last, never count
+            key = edst * jnp.int32(1 << bits_v) + (jnp.int32(maxd) - val)
+            skey = jax.lax.sort(key)
+            s_dst = skey // jnp.int32(1 << bits_v)
+            sval = jnp.int32(maxd) - (skey & jnp.int32((1 << bits_v) - 1))
+            rank1 = idx - jnp.searchsorted(s_dst, s_dst).astype(jnp.int32) + 1
+            ok = ((sval >= rank1) & (sval >= 0)).astype(jnp.int32)
+            return segment_reduce(ok, s_dst, n_loc, "sum",
+                                  indices_are_sorted=True)
+
+        def body(state):
+            h, _, it = state
+            newh = h_step(h)
+            changed = jax.lax.psum(
+                jnp.sum((newh != h).astype(jnp.int32)), axis
+            )
+            return newh, changed, it + 1
+
+        def cond(state):
+            _, changed, it = state
+            return (changed > 0) & (it < max_iter)
+
+        h, _, it = jax.lax.while_loop(
+            cond, body, (h0_loc[0], jnp.int32(1), jnp.int32(0))
+        )
+        return h[None], it
+
+    h0 = jax.device_put(
+        jnp.asarray(pg.out_degrees.astype(np.int32)),
+        NamedSharding(mesh, P(axis)),
+    )
+    send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
+    h, it = jax.jit(run)(shards, h0, send_idx, src_slot)
+    return h.reshape(-1), it

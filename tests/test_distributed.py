@@ -190,3 +190,40 @@ def test_dist_cc_boundary_exchange(setup, halo_plan):
     got, _ = dist_cc(pg, shards, mesh, plan=halo_plan)
     ref, _ = dist_cc(pg, shards, mesh)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_dist_coloring_matches_single_chip(setup, halo_plan):
+    from mini_tpu.parallel.distributed import dist_coloring
+    from mini_tpu.algorithms import coloring
+    from mini_tpu.algorithms.coloring import validate_coloring
+
+    hg, mesh, pg, shards = setup
+    gs = GraphSlice.from_host(hg)
+    ref = np.asarray(coloring(gs, seed=3).colors)
+    got, it = dist_coloring(pg, shards, mesh, seed=3)
+    got = np.asarray(got)
+    assert validate_coloring(got, hg)
+    # bitwise vs the single-chip fast path: same salts, same static-id
+    # priorities, same claim order
+    np.testing.assert_array_equal(got[: hg.n], ref[: hg.n])
+    # boundary-exchange variant identical
+    got_bd, _ = dist_coloring(pg, shards, mesh, seed=3, plan=halo_plan)
+    np.testing.assert_array_equal(np.asarray(got_bd), np.asarray(got))
+
+
+def test_dist_kcore_matches_single_chip(setup, halo_plan):
+    from mini_tpu.parallel.distributed import dist_kcore
+    from mini_tpu.algorithms import kcore
+    from mini_tpu.algorithms.kcore import kcore_cpu_true
+
+    hg, mesh, pg, shards = setup
+    gs = GraphSlice.from_host(hg)
+    ref = kcore(gs, variant="hindex")
+    got, it = dist_kcore(pg, shards, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(got)[: hg.n], np.asarray(ref.num_cores)[: hg.n]
+    )
+    cores_true, _ = kcore_cpu_true(hg)
+    np.testing.assert_array_equal(np.asarray(got)[: hg.n], cores_true)
+    got_bd, _ = dist_kcore(pg, shards, mesh, plan=halo_plan)
+    np.testing.assert_array_equal(np.asarray(got_bd), np.asarray(got))
