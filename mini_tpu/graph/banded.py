@@ -66,6 +66,8 @@ class BandedLayout:
     eids: list  # np.int32[mk_pad] — original edge id per banded slot
     w_binary: bool = False  # all graph edge weights in {0, 1}: a bf16
     # multiply is then exact, enabling the split-before-gather fast path
+    edge_chunk: int = EDGE_CHUNK  # per-band stream padding multiple; the
+    # kernels' DMA/matmul chunk size must match it
 
     # device-array cache (filled lazily)
     _dev: Optional[dict] = None
@@ -196,6 +198,7 @@ def build_banded_layout(
     edge_valid: np.ndarray,  # bool[m_pad] — False for ghost/pad edges
     band_rows: int,
     direction: str,
+    edge_chunk: int = EDGE_CHUNK,
 ) -> BandedLayout:
     """Group edges by gather-id band, preserving segment order within each
     band.  Pad/ghost edges keep weight 0 and id 0 so they are no-ops."""
@@ -221,7 +224,7 @@ def build_banded_layout(
         sel = band == k  # CSC order is (dst, src)-sorted; filtering keeps it
         idx = np.nonzero(sel)[0]
         mk = int(idx.shape[0])
-        mk_pad = max(_round_up(mk, EDGE_CHUNK), EDGE_CHUNK)
+        mk_pad = max(_round_up(mk, edge_chunk), edge_chunk)
         local = (gid[idx] - k * band_rows).astype(np.int32)
         local = np.where(edge_valid[idx], local, 0).astype(np.int32)
         wk = np.where(edge_valid[idx], weights[idx], 0.0).astype(np.float32)
@@ -267,6 +270,7 @@ def build_banded_layout(
         w_binary=bool(
             np.all((weights == 0.0) | (weights == 1.0))
         ),
+        edge_chunk=edge_chunk,
     )
 
 
@@ -286,7 +290,8 @@ def register_host_graph(fingerprint: str, host_arrays: dict) -> None:
 
 
 def get_layout(
-    g, direction: str = "pull", row_bytes: int = 512
+    g, direction: str = "pull", row_bytes: int = 512,
+    edge_chunk: int = EDGE_CHUNK,
 ) -> Optional[BandedLayout]:
     """Banded layout for a GraphSlice, or None when the host data for this
     graph is unknown (e.g. a GraphSlice reconstructed from raw arrays).
@@ -302,18 +307,18 @@ def get_layout(
         return None
     band_rows = max(ROW_TILE, FAST_TABLE_BYTES // max(row_bytes, 1))
     band_rows = min(_round_up(band_rows, ROW_TILE), g.n_pad)
-    key = (fp, direction, band_rows)
+    key = (fp, direction, band_rows, edge_chunk)
     if key not in _LAYOUT_CACHE:
         h = _HOST_CACHE[fp]
         if direction == "pull":
             _LAYOUT_CACHE[key] = build_banded_layout(
                 h["col_offsets"], h["csc_srcs"], h["csc_weights"],
-                h["edge_mask"], band_rows, "pull",
+                h["edge_mask"], band_rows, "pull", edge_chunk=edge_chunk,
             )
         elif direction == "push":
             _LAYOUT_CACHE[key] = build_banded_layout(
                 h["row_offsets"], h["csr_dsts"], h["csr_weights"],
-                h["edge_mask"], band_rows, "push",
+                h["edge_mask"], band_rows, "push", edge_chunk=edge_chunk,
             )
         else:
             raise ValueError(f"unknown direction {direction!r}")

@@ -68,6 +68,8 @@ def banded_segment_sum(
     msgs: tuple,  # K arrays [mk_pad, F], all same dtype
     precision: str = "split",  # "split" | "highest" | "fast"
     interpret: bool = False,
+    edge_chunk: int = EDGE_CHUNK,  # must match the layout's padding
+    n_buf: int = N_BUF,
 ) -> jnp.ndarray:
     """out[v] = sum over the K dst-sorted message streams of all messages
     whose segment is v.  Returns float32[n_tiles*ROW_TILE, F]."""
@@ -76,7 +78,8 @@ def banded_segment_sum(
     n_tiles = bounds.shape[1] - 1
     F = msgs[0].shape[1]
     msg_dtype = msgs[0].dtype
-    C = EDGE_CHUNK
+    C = edge_chunk
+    N_BUF_ = n_buf
     m_total = sum(int(mk.shape[0]) for mk in msgs)
 
     def kernel(bounds_ref, offs2d_hbm, *rest):
@@ -119,8 +122,8 @@ def banded_segment_sum(
                 )
 
                 def body(c, a):
-                    slot = (c - c0) % N_BUF
-                    nslot = (c - c0 + 1) % N_BUF
+                    slot = (c - c0) % N_BUF_
+                    nslot = (c - c0 + 1) % N_BUF_
 
                     @pl.when(c + 1 < c1)
                     def _():
@@ -147,9 +150,9 @@ def banded_segment_sum(
             (ROW_TILE, F), lambda i, bnd: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, C, F), msg_dtype),
+            pltpu.VMEM((N_BUF_, C, F), msg_dtype),
             pltpu.VMEM((1, ROW_TILE), jnp.int32),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.SemaphoreType.DMA((N_BUF_,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -214,6 +217,7 @@ def banded_sddmm(
     y: jnp.ndarray,  # [n_tiles*ROW_TILE, F] — dst-side matrix
     precision: str = "split",
     interpret: bool = False,
+    edge_chunk: int = EDGE_CHUNK,  # must match the layout's padding
 ) -> jnp.ndarray:
     """Per-edge dot products over the banded layout:
 
@@ -237,7 +241,7 @@ def banded_sddmm(
     n_tiles = bounds.shape[1] - 1
     F = msgs[0].shape[1]
     msg_dtype = msgs[0].dtype
-    C = EDGE_CHUNK
+    C = edge_chunk
     base_chunks = []  # static flat chunk base per band
     b = 0
     for mk in msgs:

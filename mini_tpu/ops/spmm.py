@@ -166,7 +166,7 @@ def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret,
             msgs.append(xg)
         return banded_segment_sum(
             dev["bounds"], dev["offs2d"], msgs, precision=precision,
-            interpret=interpret,
+            interpret=interpret, edge_chunk=layout.edge_chunk,
         )
 
     # NOTE a split-BEFORE-gather variant (hi/lo bf16 halves, 2K streams)
@@ -207,6 +207,7 @@ def _weight_cotangent(x, go, layout: BandedLayout, precision, interpret,
         flat = banded_sddmm(
             dev["bounds"], dev["offs2d"], block_msgs, y,
             precision=prec, interpret=interpret,
+            edge_chunk=layout.edge_chunk,
         )
         out, pos = [], 0
         for m in block_msgs:
@@ -486,7 +487,7 @@ def _sddmm_banded_impl(g, xl, xr, order, precision, interpret):
         tiles.astype(msgs[0].dtype)
         if msgs[0].dtype == jnp.bfloat16 else tiles,
         precision=precision if precision != "fast" else "split",
-        interpret=interpret,
+        interpret=interpret, edge_chunk=layout.edge_chunk,
     )
     vals = layout.permute_from_bands(flat)
     mask = g.edge_mask if order == "csr" else g.edge_mask_csc
