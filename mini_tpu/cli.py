@@ -22,7 +22,9 @@ import numpy as np
 
 
 def _load(args):
-    from mini_tpu.graph import load_mtx, rmat, GraphSlice
+    from mini_tpu.graph import (
+        load_mtx, rmat, delaunay, grid2d, GraphSlice,
+    )
 
     if args.file:
         hg = load_mtx(
@@ -38,8 +40,18 @@ def _load(args):
             seed=args.seed,
             weighted=args.random_weights,
         )
+    elif args.delaunay_scale:
+        hg = delaunay(
+            args.delaunay_scale, seed=args.seed,
+            weighted=args.random_weights,
+        )
+    elif args.grid:
+        hg = grid2d(
+            args.grid, args.grid, seed=args.seed,
+            weighted=args.random_weights,
+        )
     else:
-        sys.exit("need --file or --rmat-scale")
+        sys.exit("need --file, --rmat-scale, --delaunay-scale or --grid")
     return hg, GraphSlice.from_host(hg)
 
 
@@ -52,6 +64,15 @@ def main(argv=None):
     )
     p.add_argument("--file", default=None)
     p.add_argument("--rmat-scale", type=int, default=None)
+    p.add_argument(
+        "--delaunay-scale", type=int, default=None,
+        help="Delaunay triangulation of 2**scale random points (the "
+        "delaunay_nXX SuiteSparse family named in BASELINE.json)",
+    )
+    p.add_argument(
+        "--grid", type=int, default=None,
+        help="N x N 4-neighbor lattice (road-network stress profile)",
+    )
     p.add_argument("--edge-factor", type=int, default=16)
     p.add_argument("--src", type=int, default=0)
     p.add_argument("--alpha", type=float, default=None)

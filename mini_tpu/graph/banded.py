@@ -28,6 +28,7 @@ constants.
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 from typing import Optional
 
 import numpy as np
@@ -103,7 +104,14 @@ class BandedLayout:
                     ids=[jnp.asarray(i) for i in self.ids],
                     weights=[jnp.asarray(w) for w in self.weights],
                     bounds=jnp.asarray(self.bounds),
-                    offs2d=jnp.asarray(self.offs2d),
+                    # kernel-facing layout [n_tiles, K, ROW_TILE]: the
+                    # kernels consume one tile's offsets per grid step as
+                    # an auto-pipelined VMEM block
+                    offs2d=jnp.asarray(
+                        np.ascontiguousarray(
+                            self.offs2d.transpose(1, 0, 2)
+                        )
+                    ),
                     banded_rank=jnp.asarray(self.banded_rank),
                     inv_rank=jnp.asarray(inv),
                 )
@@ -135,7 +143,7 @@ class BandedLayout:
         return _perm_fns(self)[1](band_vals)
 
 
-_PERM_CACHE: dict = {}
+_PERM_CACHE: OrderedDict = OrderedDict()  # id(layout) -> (to, from) fns
 
 
 def _perm_fns(layout: BandedLayout):
@@ -188,6 +196,9 @@ def _perm_fns(layout: BandedLayout):
     from_flat.defvjp(from_fwd, from_bwd)
 
     _PERM_CACHE[key] = (to_bands, from_flat)
+    _PERM_CACHE.move_to_end(key)
+    while len(_PERM_CACHE) > 32:
+        _PERM_CACHE.popitem(last=False)
     return _PERM_CACHE[key]
 
 
@@ -276,10 +287,21 @@ def build_banded_layout(
 
 # ---------------------------------------------------------------------------
 # Per-graph cache, keyed by the GraphSlice fingerprint (a static meta field
-# stamped at from_host time, so it survives jit retracing).
+# stamped at from_host time, so it survives jit retracing).  Both caches are
+# LRU-bounded so long-lived processes loading many graphs don't grow host
+# memory without bound (each layout holds ~3x the graph's edge bytes).
 
-_HOST_CACHE: dict = {}  # fingerprint -> dict of host arrays
-_LAYOUT_CACHE: dict = {}  # (fingerprint, direction, band_rows) -> layout
+MAX_HOST_GRAPHS = 8
+MAX_LAYOUTS = 16
+
+_HOST_CACHE: OrderedDict = OrderedDict()  # fingerprint -> host arrays
+_LAYOUT_CACHE: OrderedDict = OrderedDict()  # (fp, dir, rows, chunk) -> layout
+
+
+def _lru_touch(cache: OrderedDict, key, limit: int):
+    cache.move_to_end(key)
+    while len(cache) > limit:
+        cache.popitem(last=False)
 
 
 def register_host_graph(fingerprint: str, host_arrays: dict) -> None:
@@ -287,6 +309,11 @@ def register_host_graph(fingerprint: str, host_arrays: dict) -> None:
     needed to build layouts later (col/row offsets, srcs/dsts, weights,
     edge masks)."""
     _HOST_CACHE[fingerprint] = host_arrays
+    _lru_touch(_HOST_CACHE, fingerprint, MAX_HOST_GRAPHS)
+    # layouts of evicted graphs are keyed by fingerprint prefix — drop them
+    live = set(_HOST_CACHE)
+    for k in [k for k in _LAYOUT_CACHE if k[0] not in live]:
+        del _LAYOUT_CACHE[k]
 
 
 def get_layout(
@@ -322,4 +349,5 @@ def get_layout(
             )
         else:
             raise ValueError(f"unknown direction {direction!r}")
+    _lru_touch(_LAYOUT_CACHE, key, MAX_LAYOUTS)
     return _LAYOUT_CACHE[key]

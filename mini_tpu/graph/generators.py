@@ -38,6 +38,63 @@ def erdos_renyi(
     )
 
 
+def delaunay(
+    scale: int,
+    seed: int = 0,
+    weighted: bool = False,
+    max_weight: int = 64,
+) -> HostGraph:
+    """Delaunay triangulation of 2**scale uniform random points — the
+    SuiteSparse ``delaunay_nXX`` family named by BASELINE.json configs
+    (planar, low uniform degree ~6: the opposite stress profile from
+    RMAT's power law).  Deterministic per seed."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.RandomState(seed)
+    n = 1 << scale
+    pts = rng.rand(n, 2)
+    tri = Delaunay(pts)
+    # each simplex contributes its 3 edges; dedup via from_edges doubling
+    s = tri.simplices
+    srcs = np.concatenate([s[:, 0], s[:, 1], s[:, 2]]).astype(np.int64)
+    dsts = np.concatenate([s[:, 1], s[:, 2], s[:, 0]]).astype(np.int64)
+    # dedup undirected pairs so the doubled graph is a simple graph
+    lo = np.minimum(srcs, dsts)
+    hi = np.maximum(srcs, dsts)
+    uniq = np.unique(lo * np.int64(n) + hi)
+    srcs, dsts = uniq // n, uniq % n
+    weights = (
+        rng.randint(1, max_weight, size=srcs.shape[0]).astype(np.float32)
+        if weighted
+        else None
+    )
+    return from_edges(srcs, dsts, weights, num_nodes=n,
+                      make_undirected=True)
+
+
+def grid2d(
+    rows: int,
+    cols: int,
+    seed: int = 0,
+    weighted: bool = False,
+    max_weight: int = 64,
+) -> HostGraph:
+    """rows x cols 4-neighbor lattice (road-network-like: huge diameter,
+    degree <= 4 — the worst case for frontier-synchronous traversal)."""
+    rng = np.random.RandomState(seed)
+    idx = np.arange(rows * cols).reshape(rows, cols)
+    right = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1)
+    down = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], axis=1)
+    e = np.concatenate([right, down])
+    weights = (
+        rng.randint(1, max_weight, size=e.shape[0]).astype(np.float32)
+        if weighted
+        else None
+    )
+    return from_edges(e[:, 0], e[:, 1], weights, num_nodes=rows * cols,
+                      make_undirected=True)
+
+
 def rmat(
     scale: int,
     edge_factor: int = 16,

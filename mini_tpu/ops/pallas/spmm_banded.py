@@ -64,7 +64,7 @@ def _chunk_matmul(stair, m, precision, msg_dtype):
 
 def banded_segment_sum(
     bounds: jnp.ndarray,  # int32[K, n_tiles+1]
-    offs2d: jnp.ndarray,  # int32[K, n_tiles, ROW_TILE]
+    offs2d: jnp.ndarray,  # int32[n_tiles, K, ROW_TILE]
     msgs: tuple,  # K arrays [mk_pad, F], all same dtype
     precision: str = "split",  # "split" | "highest" | "fast"
     interpret: bool = False,
@@ -82,16 +82,20 @@ def banded_segment_sum(
     N_BUF_ = n_buf
     m_total = sum(int(mk.shape[0]) for mk in msgs)
 
-    def kernel(bounds_ref, offs2d_hbm, *rest):
+    def kernel(bounds_ref, offs_ref, *rest):
+        # offs_ref: auto-pipelined VMEM block (1, K, ROW_TILE) — this
+        # tile's per-band dst offsets.  (Manually DMA-ing it per band
+        # cost ~2 us latency x K bands x n_tiles ≈ 40% of kernel time.)
         msgs_refs = rest[:K]
         out_ref = rest[K]
         msg_buf = rest[K + 1]  # VMEM (N_BUF, C, F)
-        offs_buf = rest[K + 2]  # VMEM (1, ROW_TILE) int32
-        sems = rest[K + 3]  # DMA (N_BUF,)
-        osem = rest[K + 4]  # DMA ()
+        sems = rest[K + 2]  # DMA (N_BUF,)
 
         i = pl.program_id(0)
         jg_col = jax.lax.broadcasted_iota(jnp.int32, (C, ROW_TILE), 0)
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (ROW_TILE, 1), 0
+        )
         out_ref[:] = jnp.zeros((ROW_TILE, F), jnp.float32)
 
         for k in range(K):  # static unroll over bands
@@ -109,51 +113,76 @@ def banded_segment_sum(
 
             @pl.when(c0 < c1)
             def _(k=k, start=start, end=end, c0=c0, c1=c1, mdma=mdma):
-                odma = pltpu.make_async_copy(
-                    offs2d_hbm.at[k, pl.ds(i, 1), :], offs_buf, osem
-                )
-                odma.start()
-                mdma(0, c0).start()
-                odma.wait()
-                off = offs_buf[:]  # (1, ROW_TILE)
+                for d in range(N_BUF_ - 1):  # n_buf-1-deep pipeline fill
+                    @pl.when(c0 + d < c1)
+                    def _(d=d):
+                        mdma(d % N_BUF_, c0 + d).start()
+                off = offs_ref[0, k].reshape(1, ROW_TILE)
                 nxt = jnp.concatenate(
                     [off[:, 1:], jnp.full((1, 1), end, jnp.int32)],
                     axis=1,
                 )
 
-                def body(c, a):
+                def body(c, _):
                     slot = (c - c0) % N_BUF_
-                    nslot = (c - c0 + 1) % N_BUF_
+                    ahead = c + N_BUF_ - 1
 
-                    @pl.when(c + 1 < c1)
+                    @pl.when(ahead < c1)
                     def _():
-                        mdma(nslot, c + 1).start()
+                        mdma((ahead - c0) % N_BUF_, ahead).start()
 
                     mdma(slot, c).wait()
-                    jg = jg_col + c * C
-                    stair = (jg >= off) & (jg < nxt)
-                    return a + _chunk_matmul(
-                        stair, msg_buf[slot], precision, msg_dtype
-                    )
+                    lo = c * C
+                    # PURE chunk: every edge lives in ONE row's span (a
+                    # hub segment covering the whole chunk) — 27-43% of
+                    # RMAT edges.  The one-hot matmul degenerates to a
+                    # rank-1 update: VPU column-sum + outer-product
+                    # accumulate (~100 cycles vs the ~512-cycle MXU
+                    # pass), and the f32 column-sum is EXACT — no bf16
+                    # split needed.
+                    interior = (lo >= start) & (lo + C <= end)
+                    crossing = jnp.any((off > lo) & (off < lo + C))
+                    pure = interior & jnp.logical_not(crossing)
 
-                acc = jax.lax.fori_loop(
-                    c0, c1, body, jnp.zeros((ROW_TILE, F), jnp.float32)
-                )
-                out_ref[:] = out_ref[:] + acc
+                    @pl.when(pure)
+                    def _():
+                        r = jnp.sum((off <= lo).astype(jnp.int32)) - 1
+                        colsum = jnp.sum(
+                            msg_buf[slot].astype(jnp.float32), axis=0
+                        )
+                        onehot = jnp.where(
+                            row_iota == r, jnp.float32(1), jnp.float32(0)
+                        )
+                        out_ref[:] = out_ref[:] + onehot * colsum[None, :]
+
+                    @pl.when(jnp.logical_not(pure))
+                    def _():
+                        jg = jg_col + lo
+                        stair = (jg >= off) & (jg < nxt)
+                        out_ref[:] = out_ref[:] + _chunk_matmul(
+                            stair, msg_buf[slot], precision, msg_dtype
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(c0, c1, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[
+            pl.BlockSpec(
+                (1, K, ROW_TILE), lambda i, bnd: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(K)],
         out_specs=pl.BlockSpec(
             (ROW_TILE, F), lambda i, bnd: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((N_BUF_, C, F), msg_dtype),
-            pltpu.VMEM((1, ROW_TILE), jnp.int32),
             pltpu.SemaphoreType.DMA((N_BUF_,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
     passes = 1 if msg_dtype != jnp.float32 else (
@@ -212,7 +241,7 @@ def _sddmm_chunk_matmul(m, y, precision, msg_dtype):
 
 def banded_sddmm(
     bounds: jnp.ndarray,  # int32[K, n_tiles+1]
-    offs2d: jnp.ndarray,  # int32[K, n_tiles, ROW_TILE]
+    offs2d: jnp.ndarray,  # int32[n_tiles, K, ROW_TILE]
     msgs: tuple,  # K arrays [mk_pad, F] — gathered src rows, banded order
     y: jnp.ndarray,  # [n_tiles*ROW_TILE, F] — dst-side matrix
     precision: str = "split",
@@ -249,19 +278,21 @@ def banded_sddmm(
         b += int(mk.shape[0]) // C
     total_chunks = b
 
-    def kernel(bounds_ref, offs2d_hbm, *rest):
+    def kernel(bounds_ref, offs_ref, *rest):
+        # offs_ref: auto-pipelined VMEM block (1, K, ROW_TILE)
         msgs_refs = rest[:K]
         y_ref = rest[K]  # VMEM (ROW_TILE, F)
         out_ref = rest[K + 1]  # ANY [total_chunks, C]
         msg_buf = rest[K + 2]  # VMEM (N_BUF, C, F)
-        offs_buf = rest[K + 3]  # VMEM (1, ROW_TILE) int32
-        acc_buf = rest[K + 4]  # VMEM (1, C) f32
-        sems = rest[K + 5]  # DMA (N_BUF,)
-        osem = rest[K + 6]  # DMA ()
-        wsem = rest[K + 7]  # DMA ()
+        acc_buf = rest[K + 3]  # VMEM (1, C) f32
+        sems = rest[K + 4]  # DMA (N_BUF,)
+        wsem = rest[K + 5]  # DMA ()
 
         i = pl.program_id(0)
         jg_col = jax.lax.broadcasted_iota(jnp.int32, (C, ROW_TILE), 0)
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (ROW_TILE, 1), 0
+        )
 
         for k in range(K):  # static unroll over bands
             start = bounds_ref[k, i]
@@ -278,13 +309,11 @@ def banded_sddmm(
 
             @pl.when(c0 < c1)
             def _(k=k, start=start, end=end, c0=c0, c1=c1, mdma=mdma):
-                odma = pltpu.make_async_copy(
-                    offs2d_hbm.at[k, pl.ds(i, 1), :], offs_buf, osem
-                )
-                odma.start()
-                mdma(0, c0).start()
-                odma.wait()
-                off = offs_buf[:]  # (1, ROW_TILE)
+                for d in range(N_BUF - 1):  # n_buf-1-deep pipeline fill
+                    @pl.when(c0 + d < c1)
+                    def _(d=d):
+                        mdma(d % N_BUF, c0 + d).start()
+                off = offs_ref[0, k].reshape(1, ROW_TILE)
                 nxt = jnp.concatenate(
                     [off[:, 1:], jnp.full((1, 1), end, jnp.int32)],
                     axis=1,
@@ -292,16 +321,17 @@ def banded_sddmm(
 
                 def body(c, _):
                     slot = (c - c0) % N_BUF
-                    nslot = (c - c0 + 1) % N_BUF
+                    ahead = c + N_BUF - 1
 
-                    @pl.when(c + 1 < c1)
+                    @pl.when(ahead < c1)
                     def _():
-                        mdma(nslot, c + 1).start()
+                        mdma((ahead - c0) % N_BUF, ahead).start()
 
                     row = base_chunks[k] + c
+                    lo = c * C
                     # a chunk whose first edge precedes this tile's range
                     # was already part-written by an earlier tile: RMW it
-                    rmw = c * C < start
+                    rmw = lo < start
 
                     @pl.when(rmw)
                     def _():
@@ -310,25 +340,52 @@ def banded_sddmm(
                         ).start()
 
                     mdma(slot, c).wait()
-                    jg = jg_col + c * C
-                    stair = (jg >= off) & (jg < nxt)
-                    t = _sddmm_chunk_matmul(
-                        msg_buf[slot], y_ref[:], precision, msg_dtype
-                    )
-                    contrib = jnp.sum(
-                        jnp.where(stair, t, 0.0), axis=1
-                    )[None, :]  # (1, C)
+                    # PURE chunk (one hub row spans it — see the forward
+                    # kernel): dw = <m[j], y[r*]> per edge, a VPU
+                    # broadcast-multiply + row-reduce instead of the MXU
+                    # pass; rmw implies not-pure, so the plain write is
+                    # always safe here.
+                    interior = (lo >= start) & (lo + C <= end)
+                    crossing = jnp.any((off > lo) & (off < lo + C))
+                    pure = interior & jnp.logical_not(crossing)
 
-                    @pl.when(rmw)
+                    @pl.when(pure)
                     def _():
-                        pltpu.make_async_copy(
-                            out_ref.at[pl.ds(row, 1), :], acc_buf, wsem
-                        ).wait()
-                        acc_buf[:] = acc_buf[:] + contrib
+                        r = jnp.sum((off <= lo).astype(jnp.int32)) - 1
+                        onehot = jnp.where(
+                            row_iota == r, jnp.float32(1), jnp.float32(0)
+                        )
+                        yrow = jnp.sum(
+                            y_ref[:].astype(jnp.float32) * onehot, axis=0
+                        )
+                        acc_buf[:] = jnp.sum(
+                            msg_buf[slot].astype(jnp.float32)
+                            * yrow[None, :],
+                            axis=1,
+                        )[None, :]
 
-                    @pl.when(jnp.logical_not(rmw))
+                    @pl.when(jnp.logical_not(pure))
                     def _():
-                        acc_buf[:] = contrib
+                        jg = jg_col + lo
+                        stair = (jg >= off) & (jg < nxt)
+                        t = _sddmm_chunk_matmul(
+                            msg_buf[slot], y_ref[:], precision, msg_dtype
+                        )
+                        contrib = jnp.sum(
+                            jnp.where(stair, t, 0.0), axis=1
+                        )[None, :]  # (1, C)
+
+                        @pl.when(rmw)
+                        def _():
+                            pltpu.make_async_copy(
+                                out_ref.at[pl.ds(row, 1), :], acc_buf,
+                                wsem,
+                            ).wait()
+                            acc_buf[:] = acc_buf[:] + contrib
+
+                        @pl.when(jnp.logical_not(rmw))
+                        def _():
+                            acc_buf[:] = contrib
 
                     wr = pltpu.make_async_copy(
                         acc_buf, out_ref.at[pl.ds(row, 1), :], wsem
@@ -342,7 +399,12 @@ def banded_sddmm(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[
+            pl.BlockSpec(
+                (1, K, ROW_TILE), lambda i, bnd: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(K)]
         + [
             pl.BlockSpec(
@@ -353,10 +415,8 @@ def banded_sddmm(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((N_BUF, C, F), msg_dtype),
-            pltpu.VMEM((1, ROW_TILE), jnp.int32),
             pltpu.VMEM((1, C), jnp.float32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -218,6 +218,52 @@ def test_spmm_banded_unweighted_auto():
     assert _relerr(out, ref, _mag(gs, x)) < 3e-4
 
 
+def test_banded_hub_graph_pure_chunks():
+    """A star hub with degree >> EDGE_CHUNK produces 'pure' chunks (one
+    row spanning whole 512-edge chunks), exercising the kernels' rank-1
+    fast path — absent from the uniform-degree fixtures."""
+    from mini_tpu.graph import from_edges
+
+    rng = np.random.RandomState(0)
+    n = 400
+    hub_src = rng.randint(1, n, 3000)
+    extra_s = rng.randint(0, n, 1500)
+    extra_d = rng.randint(0, n, 1500)
+    srcs = np.concatenate([hub_src, extra_s])
+    dsts = np.concatenate([np.zeros(3000, np.int64), extra_d])
+    w = rng.rand(srcs.shape[0]).astype(np.float32) + 0.5
+    hg = from_edges(srcs, dsts, w, num_nodes=n, make_undirected=True)
+    gs = GraphSlice.from_host(hg)
+    x = jnp.asarray(rng.rand(gs.n_pad, 128).astype(np.float32) - 0.5)
+
+    out = _spmm_banded(gs, x, "pull", None, None, "split", True)
+    ref = spmm(gs, x, direction="pull", impl="xla")
+    assert _relerr(out, ref, _mag(gs, x)) < 3e-4
+
+    # SDDMM over the same hub layout (pure path in banded_sddmm)
+    xr = jnp.asarray(rng.rand(gs.n_pad, 128).astype(np.float32) - 0.5)
+    got = sddmm(gs, x, xr, order="csc", impl="banded", interpret=True)
+    refd = sddmm(gs, x, xr, order="csc", impl="xla")
+    mag = np.asarray(
+        sddmm(gs, jnp.abs(x), jnp.abs(xr), order="csc", impl="xla")
+    ) + 1e-6
+    assert _relerr(got, refd, mag) < 1e-4
+
+    # weight gradient rides the same pure chunks
+    w0 = jnp.asarray(rng.rand(gs.m_pad).astype(np.float32) + 0.5)
+
+    def loss(w, banded):
+        if banded:
+            o = _spmm_banded(gs, x, "pull", w, None, "split", True)
+        else:
+            o = spmm(gs, x, direction="pull", weights=w, impl="xla")
+        return jnp.sum(jnp.sin(o))
+
+    gb = np.asarray(jax.grad(lambda w: loss(w, True))(w0))
+    gx = np.asarray(jax.grad(lambda w: loss(w, False))(w0))
+    assert np.abs(gb - gx).max() / (np.abs(gx).max() + 1e-6) < 1e-3
+
+
 def test_permute_from_bands_roundtrip(setup):
     hg, gs, x = setup
     lay = _layout(gs)
