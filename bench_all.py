@@ -91,6 +91,10 @@ def main():
     gat_p = gat_init(jax.random.PRNGKey(2), [F, 64, 32], heads=2)
     fwd_gat = jax.jit(lambda p, xx: gat_forward(p, gs, xx))
     bench("gat_fwd", lambda: fwd_gat(gat_p, x))
+    fwd_gat16 = jax.jit(
+        lambda p, xx: gat_forward(p, gs, xx, message_dtype=jnp.bfloat16)
+    )
+    bench("gat_fwd_bf16", lambda: fwd_gat16(gat_p, x))
 
     with open("BENCH_ALL.json", "w") as f:
         json.dump(results, f, indent=2)

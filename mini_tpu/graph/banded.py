@@ -133,6 +133,16 @@ class BandedLayout:
         """
         return list(_perm_fns(self)[0](edge_vals))
 
+    def permute_to_bands_multi(self, *cols):
+        """H per-edge columns through ONE multi-payload sort (payloads add
+        ~25% each vs a full sort per column); returns K arrays [mk, H].
+        Like :meth:`permute_to_bands`, the VJP is the inverse fixed perm,
+        not lax.sort's scatter transpose."""
+        if len(cols) == 1:
+            bands = self.permute_to_bands(cols[0])
+            return [b[:, None] for b in bands]
+        return list(_perm_multi_fn(self, len(cols))(*cols))
+
     def permute_from_bands(self, band_vals):
         """Inverse of :meth:`permute_to_bands`: per-band arrays (or the
         flat banded stream) back to the base edge order, length m_pad."""
@@ -200,6 +210,60 @@ def _perm_fns(layout: BandedLayout):
     while len(_PERM_CACHE) > 32:
         _PERM_CACHE.popitem(last=False)
     return _PERM_CACHE[key]
+
+
+def _perm_multi_fn(layout: BandedLayout, H: int):
+    """custom_vjp: H columns -> K [mk, H] banded stacks via ONE sort; the
+    VJP runs the inverse perm on the H cotangent columns (one sort)."""
+    key = (id(layout), "multi", H)
+    if key in _PERM_CACHE:
+        return _PERM_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    from mini_tpu.ops.permute import apply_fixed_perm
+
+    total = layout.total_padded
+    m_pad = layout.m_pad
+
+    def _pad(c):
+        return jnp.concatenate(
+            [c, jnp.zeros(total - c.shape[0], c.dtype)]
+        )
+
+    @jax.custom_vjp
+    def to_bands(*cols):
+        flats = apply_fixed_perm(
+            layout.dev()["banded_rank"], *[_pad(c) for c in cols]
+        )
+        return tuple(
+            jnp.stack(
+                [layout._split_bands(f)[k] for f in flats], axis=1
+            )
+            for k in range(layout.K)
+        )
+
+    def fwd(*cols):
+        return to_bands(*cols), cols[0].shape[0]
+
+    def bwd(m_in, ct):
+        # ct: K tuples of [mk, H]; re-flatten per column, inverse-perm all
+        # H columns with one sort
+        flat_cols = [
+            jnp.concatenate([jnp.asarray(c)[:, h] for c in ct])
+            for h in range(H)
+        ]
+        outs = apply_fixed_perm(layout.dev()["inv_rank"], *flat_cols)
+        if H == 1:
+            outs = (outs,)
+        return tuple(o[:m_pad][:m_in] for o in outs)
+
+    to_bands.defvjp(fwd, bwd)
+    _PERM_CACHE[key] = to_bands
+    _PERM_CACHE.move_to_end(key)
+    while len(_PERM_CACHE) > 32:
+        _PERM_CACHE.popitem(last=False)
+    return to_bands
 
 
 def build_banded_layout(

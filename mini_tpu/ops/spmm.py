@@ -333,13 +333,12 @@ def _spmm_banded(
     from mini_tpu.ops.permute import apply_fixed_perm
 
     def band_cols(lay, w):
-        """Banded per-band weights: [mk] scalars or [mk, H] columns."""
+        """Banded per-band weights: [mk] scalars or [mk, H] columns (all
+        heads ride ONE multi-payload sort)."""
         if heads == 1:
             return tuple(lay.permute_to_bands(w))
-        cols = [lay.permute_to_bands(w[:, h]) for h in range(heads)]
         return tuple(
-            jnp.stack([cols[h][k] for h in range(heads)], axis=1)
-            for k in range(lay.K)
+            lay.permute_to_bands_multi(*[w[:, h] for h in range(heads)])
         )
 
     if weights_banded is not None:
