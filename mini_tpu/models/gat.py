@@ -28,13 +28,17 @@ from mini_tpu.ops.spmm import spmm
 
 def segment_softmax_by_dst(g: GraphSlice, scores: jnp.ndarray) -> jnp.ndarray:
     """Softmax of CSC-ordered per-edge scores within each dst segment.
-    Masked (ghost) edges get weight 0."""
+    Masked (ghost) edges get weight 0.
+
+    ``scores`` may be ``[m_pad]`` or ``[m_pad, H]`` — a trailing head axis
+    batches every expansion and segmented scan across heads in one pass
+    (the scan steps are lane-vectorized, so H heads cost ~1 head)."""
     neg = jnp.float32(-1e30)
-    s = jnp.where(g.edge_mask_csc, scores, neg)
+    mask = g.edge_mask_csc
+    mask = mask.reshape(mask.shape + (1,) * (scores.ndim - 1))
+    s = jnp.where(mask, scores, neg)
     smax = reduce_csc_by_dst(g, s, "max", identity=0.0)
-    e = jnp.where(
-        g.edge_mask_csc, jnp.exp(s - dst_vals_to_csc(g, smax)), 0.0
-    )
+    e = jnp.where(mask, jnp.exp(s - dst_vals_to_csc(g, smax)), 0.0)
     denom = reduce_csc_by_dst(g, e, "sum")
     denom_e = dst_vals_to_csc(g, jnp.maximum(denom, 1e-30))
     return e / denom_e
@@ -103,20 +107,22 @@ def gat_forward(
             for hd in range(n_heads)
         ]
         # all heads' src scores ride ONE permutation sort (multi-payload);
-        # the dst scores are pure expansions (cheap)
+        # the dst scores batch into ONE [n_pad, H] expansion, and the
+        # whole softmax phase (mask, max-scan, exp, sum-scan, divide)
+        # runs once over [m_pad, H] instead of per head
         e_src = src_vals_to_csc(
             g, *[hws[hd] @ layer["a_src"][hd] for hd in range(n_heads)]
         )
         if n_heads == 1:
             e_src = (e_src,)
-        alphas = []
-        for hd in range(n_heads):
-            s_dst = hws[hd] @ layer["a_dst"][hd]
-            e = e_src[hd] + dst_vals_to_csc(g, s_dst)
-            e = jax.nn.leaky_relu(e, negative_slope)
-            alphas.append(segment_softmax_by_dst(g, e))
+        s_dst = jnp.stack(
+            [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)], axis=-1
+        )
+        e = jnp.stack(e_src, axis=-1) + dst_vals_to_csc(g, s_dst)
+        e = jax.nn.leaky_relu(e, negative_slope)
+        alpha = segment_softmax_by_dst(g, e)  # [m_pad, H]
         if n_heads == 1:
-            heads = [_spmm_lane_padded(g, hws[0], alphas[0])]
+            heads = [_spmm_lane_padded(g, hws[0], alpha[:, 0])]
         else:
             # batch ALL heads into one blockwise SpMM: each head's dim is
             # padded so the concat is lane-aligned, one gather + one MXU
@@ -133,9 +139,8 @@ def gat_forward(
             hw_cat = jnp.concatenate(hws_p, axis=-1)
             if message_dtype is not None:
                 hw_cat = hw_cat.astype(message_dtype)
-            alpha_cat = jnp.stack(alphas, axis=-1)
             out = spmm(
-                g, hw_cat, direction="pull", weights=alpha_cat,
+                g, hw_cat, direction="pull", weights=alpha,
                 heads=n_heads,
             ).astype(jnp.float32)
             heads = [

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 
 def expand_to_edges(
-    vertex_vals: jnp.ndarray,  # [n_pad] any 32-bit dtype
+    vertex_vals: jnp.ndarray,  # [n_pad, ...] any 32-bit dtype
     offsets: jnp.ndarray,  # int[n_pad+1] contiguous segment boundaries
     m_pad: int,
 ) -> jnp.ndarray:
@@ -38,15 +38,20 @@ def expand_to_edges(
     starts, then cumsum.  The scatter is n-sized (cheap), the cumsum is
     vectorized.  Empty segments contribute coincident deltas which
     scatter-add combines correctly.
+
+    Trailing dims (e.g. a head axis) batch through the same delta/cumsum:
+    up to the 128-lane width they ride the VPU essentially for free, so
+    expanding K channels at once costs ~1 expansion, not K.
     """
     dtype = vertex_vals.dtype
     bits = jax.lax.bitcast_convert_type(vertex_vals, jnp.int32)
-    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bits[:-1]])
+    tail = bits.shape[1:]
+    prev = jnp.concatenate([jnp.zeros((1,) + tail, jnp.int32), bits[:-1]])
     deltas = bits - prev  # wrapping int32 subtraction: exact mod 2^32
     starts = jnp.clip(offsets[:-1].astype(jnp.int32), 0, m_pad)
-    buf = jnp.zeros(m_pad + 1, jnp.int32)
+    buf = jnp.zeros((m_pad + 1,) + tail, jnp.int32)
     buf = buf.at[starts].add(deltas, mode="drop")
-    out_bits = jnp.cumsum(buf[:m_pad])
+    out_bits = jnp.cumsum(buf[:m_pad], axis=0)
     return jax.lax.bitcast_convert_type(out_bits, dtype)
 
 
@@ -76,7 +81,7 @@ def apply_fixed_perm_bit(
 
 
 def segment_ends_take(
-    edge_vals: jnp.ndarray,  # [m_pad]
+    edge_vals: jnp.ndarray,  # [m_pad, ...]
     offsets: jnp.ndarray,  # int[n+1]
     identity,
 ) -> jnp.ndarray:
@@ -85,11 +90,13 @@ def segment_ends_take(
     off = offsets.astype(jnp.int32)
     last = jnp.maximum(off[1:] - 1, 0)
     vals = edge_vals[last]
-    return jnp.where(off[1:] > off[:-1], vals, identity)
+    nonempty = off[1:] > off[:-1]
+    nonempty = nonempty.reshape(nonempty.shape + (1,) * (vals.ndim - 1))
+    return jnp.where(nonempty, vals, identity)
 
 
 def segmented_scan_reduce(
-    vals: jnp.ndarray,  # [m_pad] in sorted-segment order
+    vals: jnp.ndarray,  # [m_pad, ...] in sorted-segment order
     seg_ids: jnp.ndarray,  # int32[m_pad] sorted
     offsets: jnp.ndarray,  # int[n+1]
     op: str,  # 'min' | 'max' | 'sum'
@@ -104,6 +111,9 @@ def segmented_scan_reduce(
 
     ``max_seg_len`` (static) bounds the scan depth — pass the graph's max
     degree to cut steps from log2(m) to log2(max_deg).
+
+    Trailing dims batch: K channels (e.g. attention heads) share one set
+    of scan steps, the segment-match mask broadcasting across lanes.
     """
     fn = {
         "min": jnp.minimum,
@@ -116,13 +126,15 @@ def segmented_scan_reduce(
     if max_seg_len is None:
         max_seg_len = m
     x = vals
+    tail = vals.shape[1:]
     s = seg_ids
     d = 1
     while d < max_seg_len:
-        pad_v = jnp.full((d,), identity, x.dtype)
+        pad_v = jnp.full((d,) + tail, identity, x.dtype)
         pad_s = jnp.full((d,), -1, s.dtype)
         sv = jnp.concatenate([pad_v, x[:-d]])
         ss = jnp.concatenate([pad_s, s[:-d]])
-        x = jnp.where(ss == s, fn(x, sv), x)
+        match = (ss == s).reshape(s.shape + (1,) * len(tail))
+        x = jnp.where(match, fn(x, sv), x)
         d *= 2
     return segment_ends_take(x, offsets, identity)

@@ -122,3 +122,48 @@ def test_reduce_helpers_match_scatter(random_slice, random_graph):
     expect2 = np.full(gs.n_pad, np.iinfo(np.int32).min, np.int64)
     np.maximum.at(expect2, np.asarray(gs.csr_srcs), ev)
     np.testing.assert_array_equal(np.asarray(out2), expect2)
+
+
+def test_expand_batched_matches_per_column():
+    """A trailing head axis must expand bit-identically to K separate calls."""
+    hg, gs = _slice(7)
+    rng = np.random.RandomState(7)
+    v = rng.randn(gs.n_pad, 3).astype(np.float32)
+    out = expand_to_edges(jnp.asarray(v), gs.col_offsets, gs.m_pad)
+    for k in range(3):
+        ref = expand_to_edges(jnp.asarray(v[:, k]), gs.col_offsets, gs.m_pad)
+        np.testing.assert_array_equal(
+            np.asarray(out[:, k]).view(np.int32),
+            np.asarray(ref).view(np.int32),
+        )
+
+
+def test_segmented_scan_batched_matches_per_column():
+    hg, gs = _slice(8)
+    rng = np.random.RandomState(8)
+    vals = rng.rand(gs.m_pad, 4).astype(np.float32)
+    for op, ident in (("max", -np.inf), ("sum", 0.0)):
+        out = segmented_scan_reduce(
+            jnp.asarray(vals), gs.csc_dsts, gs.col_offsets, op,
+            jnp.float32(ident),
+        )
+        for k in range(4):
+            ref = segmented_scan_reduce(
+                jnp.asarray(vals[:, k]), gs.csc_dsts, gs.col_offsets, op,
+                jnp.float32(ident),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out[:, k]), np.asarray(ref)
+            )
+
+
+def test_segment_softmax_batched_matches_per_head():
+    from mini_tpu.models.gat import segment_softmax_by_dst
+
+    hg, gs = _slice(9)
+    rng = np.random.RandomState(9)
+    scores = rng.randn(gs.m_pad, 2).astype(np.float32)
+    out = segment_softmax_by_dst(gs, jnp.asarray(scores))
+    for k in range(2):
+        ref = segment_softmax_by_dst(gs, jnp.asarray(scores[:, k]))
+        np.testing.assert_array_equal(np.asarray(out[:, k]), np.asarray(ref))
