@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 import numpy as np
 
@@ -58,10 +59,23 @@ def main():
     results["n"], results["m"] = hg.n, hg.m
     print(f"# graph n={hg.n} m={hg.m}", file=sys.stderr, flush=True)
 
+    def first_call(fn):
+        """Run + fetch the first (compiling) call; return (result, secs).
+        The fetch matters: block_until_ready returns before async remote
+        compilation finishes, so only np.asarray absorbs compile time."""
+        t0 = time.perf_counter()
+        out = fn()
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "dtype"):
+                np.asarray(leaf)
+        return out, time.perf_counter() - t0
+
+    compile_s = results["compile_s"] = {}
+
     # ---------------- BFS (headline) ----------------
     # RMAT leaves many vertices isolated; traverse from the max-degree hub
     src = int(np.argmax(hg.out_degrees))
-    res = bfs(gs, src)
+    res, compile_s["bfs"] = first_call(lambda: bfs(gs, src))
     reached = np.asarray(res.labels)[: hg.n] >= 0
     # standard MTEPS accounting: edges in the reached component
     edges_reached = float(hg.out_degrees[reached].sum())
@@ -75,7 +89,7 @@ def main():
     }
 
     # ---------------- SSSP ----------------
-    res_s = sssp(gs, src)
+    res_s, compile_s["sssp"] = first_call(lambda: sssp(gs, src))
     print("# sssp compiled", file=sys.stderr, flush=True)
     t = time_fn(lambda: sssp(gs, src), warmup=1, repeat=2)
     results["sssp"] = {
@@ -85,7 +99,9 @@ def main():
     }
 
     # ---------------- PageRank ----------------
-    res_p = pagerank(gs, max_iter=30)
+    res_p, compile_s["pagerank"] = first_call(
+        lambda: pagerank(gs, max_iter=30)
+    )
     iters = max(int(res_p.num_iterations), 1)
     print("# pr compiled", file=sys.stderr, flush=True)
     t = time_fn(lambda: pagerank(gs, max_iter=30), warmup=1, repeat=2)
@@ -117,6 +133,7 @@ def main():
                     p, gs, norm, xx, impl=impl, message_dtype=mdt
                 )
             )
+            _, compile_s[f"gcn_{name}"] = first_call(lambda: fwd(params, x))
             t = time_fn(lambda: fwd(params, x), warmup=1, repeat=3)
             results[f"gcn_{name}"] = {
                 "time_ms": t.min_s * 1e3,
@@ -124,6 +141,33 @@ def main():
             }
         except Exception as exc:  # keep the headline alive
             results[f"gcn_{name}"] = {"error": repr(exc)[:300]}
+
+    # ---------------- GAT forward (SDDMM + softmax + weighted SpMM) ----
+    # 2 heads x 32 dims, batched-head path (one softmax pass, one
+    # blockwise SpMM for all heads).
+    from mini_tpu.models.gat import gat_init, gat_forward
+
+    gat_params = gat_init(jax.random.PRNGKey(1), [F, 32, 32], heads=2)
+    gat_variants = [("f32", None)]
+    if jax.default_backend() == "tpu":
+        gat_variants += [("bf16", jnp.bfloat16)]
+    for name, mdt in gat_variants:
+        try:
+            fwd = jax.jit(
+                lambda p, xx, mdt=mdt: gat_forward(
+                    p, gs, xx, message_dtype=mdt
+                )
+            )
+            _, compile_s[f"gat_{name}"] = first_call(
+                lambda: fwd(gat_params, x)
+            )
+            t = time_fn(lambda: fwd(gat_params, x), warmup=1, repeat=3)
+            results[f"gat_{name}"] = {
+                "time_ms": t.min_s * 1e3,
+                "agg_edges_per_s": 2 * hg.m / t.min_s,
+            }
+        except Exception as exc:
+            results[f"gat_{name}"] = {"error": repr(exc)[:300]}
 
     # ---------------- SpMM per-impl/per-dtype (in-loop) ----------------
     # Protocol: ITERS data-dependent calls inside ONE jitted fori_loop,
