@@ -74,3 +74,15 @@ def test_gat_trains():
     norms = [float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g0)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(norms) > 0
+
+
+def test_gat_bf16_message_path_close_to_f32():
+    """The bf16 message fast path (batched heads) stays within bf16
+    tolerance of the f32 forward."""
+    hg, gs, x = _setup(5)
+    params = gat_init(jax.random.PRNGKey(5), [8, 16, 3], heads=2)
+    out32 = gat_forward(params, gs, x)
+    out16 = gat_forward(params, gs, x, message_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), rtol=3e-2, atol=3e-2
+    )
