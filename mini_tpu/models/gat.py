@@ -91,10 +91,20 @@ def gat_forward(
     x: jnp.ndarray,
     negative_slope: float = 0.2,
     message_dtype=None,
+    batch_softmax: bool = False,
 ) -> jnp.ndarray:
     """``message_dtype=jnp.bfloat16`` casts the aggregated head features
     to bf16 for the attention SpMM (single-pass MXU pipeline, ~1e-3
-    relative error — the training fast path; scores/softmax stay f32)."""
+    relative error — the training fast path; scores/softmax stay f32).
+
+    ``batch_softmax`` runs the score/softmax phase once over a
+    ``[m_pad, H]`` array instead of once per head (bit-identical either
+    way).  Measured on v5e at rmat16/H=2: the batched layout is ~27%
+    SLOWER (127 vs 100 ms full fwd) — a trailing H axis occupies H of
+    128 lanes per vreg, so each scan step moves 64x the vregs.  Per-head
+    (False) is the TPU default; True is kept for wide-H experiments and
+    as the measured record.
+    """
     import math
 
     h = x
@@ -115,12 +125,19 @@ def gat_forward(
         )
         if n_heads == 1:
             e_src = (e_src,)
-        s_dst = jnp.stack(
-            [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)], axis=-1
-        )
-        e = jnp.stack(e_src, axis=-1) + dst_vals_to_csc(g, s_dst)
-        e = jax.nn.leaky_relu(e, negative_slope)
-        alpha = segment_softmax_by_dst(g, e)  # [m_pad, H]
+        s_dst_l = [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)]
+        if batch_softmax:
+            s_dst = jnp.stack(s_dst_l, axis=-1)
+            e = jnp.stack(e_src, axis=-1) + dst_vals_to_csc(g, s_dst)
+            e = jax.nn.leaky_relu(e, negative_slope)
+            alpha = segment_softmax_by_dst(g, e)  # [m_pad, H]
+        else:
+            alphas = []
+            for hd in range(n_heads):
+                eh = e_src[hd] + dst_vals_to_csc(g, s_dst_l[hd])
+                eh = jax.nn.leaky_relu(eh, negative_slope)
+                alphas.append(segment_softmax_by_dst(g, eh))
+            alpha = jnp.stack(alphas, axis=-1)
         if n_heads == 1:
             heads = [_spmm_lane_padded(g, hws[0], alpha[:, 0])]
         else:
