@@ -22,6 +22,17 @@ BASELINE_MTEPS = 31.62
 SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 EDGE_FACTOR = 16
 
+# Comma-separated section names to skip (gcn, gat, spmm, batch), e.g.
+# MINI_TPU_BENCH_SKIP=gcn,gat for scale>=20 where f32 GCN messages
+# (m*F*4 = 17 GB) exceed HBM and the allocation HANGS the tunnel
+# instead of erroring.
+import os
+
+SKIP = set(
+    s.strip() for s in os.environ.get("MINI_TPU_BENCH_SKIP", "").split(",")
+    if s.strip()
+)
+
 
 
 def _enable_compile_cache():
@@ -72,6 +83,10 @@ def main():
 
     compile_s = results["compile_s"] = {}
 
+    def flush():
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(results, f, indent=2)
+
     # ---------------- BFS (headline) ----------------
     # RMAT leaves many vertices isolated; traverse from the max-degree hub
     src = int(np.argmax(hg.out_degrees))
@@ -111,6 +126,8 @@ def main():
         "edges_per_s": hg.m * iters / t.min_s,
     }
 
+    flush()
+
     # ---------------- GCN forward (SpMM path) ----------------
     # Both precisions are first-class: f32 ("split", ~1e-5 error) is the
     # accurate default, bf16 messages are the training fast path.  Keys:
@@ -126,6 +143,8 @@ def main():
             ("pallas", "banded", None),
             ("pallas_bf16", "banded", jnp.bfloat16),
         ]
+    if "gcn" in SKIP:
+        gcn_variants = []
     for name, impl, mdt in gcn_variants:
         try:
             fwd = jax.jit(
@@ -151,6 +170,8 @@ def main():
     gat_variants = [("f32", None)]
     if jax.default_backend() == "tpu":
         gat_variants += [("bf16", jnp.bfloat16)]
+    if "gat" in SKIP:
+        gat_variants = []
     for name, mdt in gat_variants:
         try:
             fwd = jax.jit(
@@ -182,6 +203,13 @@ def main():
             ("banded_f32_split", "banded", "split", jnp.float32),
             ("banded_bf16", "banded", "auto", jnp.bfloat16),
         ]
+    if "spmm" in SKIP:
+        spmm_variants = []
+    if SCALE >= 20:
+        # f32 message streams (m*F*4 = 17 GB at s20) exceed HBM past
+        # scale 19; the failed allocation hangs the tunnel rather than
+        # erroring, so drop every f32 variant
+        spmm_variants = [v for v in spmm_variants if v[3] != jnp.float32]
     ITERS = 10
     results["spmm_inloop"] = {"iters": ITERS, "F": F}
     for label, impl, precision, dtype in spmm_variants:
@@ -209,9 +237,18 @@ def main():
         except Exception as exc:
             results["spmm_inloop"][label] = {"error": repr(exc)[:300]}
 
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=2)
-
+    # ------------- dispatch-amortized model rows (in-loop) -------------
+    # Every wall-basis row above carries the ~25 ms tunnel dispatch floor
+    # (BASELINE.md, r3b measurement); these rows reuse the spmm_inloop
+    # protocol (R chained calls inside ONE jit, per-op = total/R) to
+    # report the on-chip per-call cost that predicts training-step and
+    # multi-query throughput.  The headline metric is unchanged.
+    flush()
+    print("# spmm done", file=sys.stderr, flush=True)
+    # Headline is printed HERE, before the optional amortized sections:
+    # those can pay multi-minute remote compiles, and a driver-side
+    # timeout there must not cost the round its one JSON line.  Nothing
+    # below writes to stdout.
     print(
         json.dumps(
             {
@@ -220,8 +257,76 @@ def main():
                 "unit": "MTEPS",
                 "vs_baseline": round(bfs_mteps / BASELINE_MTEPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    R = 8
+    try:
+        if "batch" in SKIP:
+            raise RuntimeError("skipped via MINI_TPU_BENCH_SKIP")
+        # multi-source BFS (Graph500-style): top-R-degree sources, one jit.
+        # Per-source reached-edge accounting reuses the compiled bfs.
+        srcs_np = np.argsort(hg.out_degrees)[-R:].astype(np.int32)
+        edges_r = 0.0
+        for s_i in srcs_np:
+            lab = np.asarray(bfs(gs, int(s_i)).labels)[: hg.n]
+            edges_r += float(hg.out_degrees[lab >= 0].sum())
+        srcs_d = jnp.asarray(srcs_np)
+        batch = jax.jit(
+            lambda sd: jax.lax.fori_loop(
+                0, R,
+                lambda i, acc: acc + jnp.max(bfs(gs, sd[i]).labels),
+                jnp.int32(0),
+            )
+        )
+        _, compile_s["bfs_batch"] = first_call(lambda: batch(srcs_d))
+        t = time_fn(lambda: batch(srcs_d), warmup=1, repeat=3)
+        results["bfs_batch"] = {
+            "sources": R,
+            "per_bfs_ms": t.min_s / R * 1e3,
+            "mteps_amortized": edges_r / t.min_s / 1e6,
+        }
+    except Exception as exc:
+        results["bfs_batch"] = {"error": repr(exc)[:300]}
+
+    flush()
+    if jax.default_backend() == "tpu" and not SKIP & {"gcn", "gat"}:
+        model_rows = [
+            ("gcn_inloop_f32", "gcn", "banded", None, 8),
+            ("gcn_inloop_bf16", "gcn", "banded", jnp.bfloat16, 8),
+            ("gat_inloop_f32", "gat", None, None, 4),
+            ("gat_inloop_bf16", "gat", None, jnp.bfloat16, 4),
+        ]
+        for label, kind, impl, mdt, r in model_rows:
+            try:
+                if kind == "gcn":
+                    def step(a, impl=impl, mdt=mdt):
+                        return gcn_forward(params, gs, norm, a,
+                                           impl=impl, message_dtype=mdt)
+                else:
+                    def step(a, mdt=mdt):
+                        return gat_forward(gat_params, gs, a,
+                                           message_dtype=mdt)
+                run = jax.jit(
+                    lambda x0, step=step, r=r: jax.lax.fori_loop(
+                        0, r,
+                        lambda i, a: x + jnp.sum(step(a))
+                        * jnp.float32(1e-12),
+                        x0,
+                    )
+                )
+                _, compile_s[label] = first_call(lambda: run(x))
+                t = time_fn(lambda: run(x), warmup=1, repeat=2)
+                results[label] = {
+                    "iters": r,
+                    "per_fwd_ms": t.min_s / r * 1e3,
+                    "agg_edges_per_s": 2 * hg.m * r / t.min_s,
+                }
+            except Exception as exc:
+                results[label] = {"error": repr(exc)[:300]}
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":
