@@ -52,7 +52,9 @@ def main():
             def body(i, acc):
                 out = jnp.take(tab, (idx + i) & (table_rows - 1), axis=0,
                                fill_value=0)
-                return acc + out[0].astype(jnp.float32)
+                # consume the WHOLE gathered array so no simplifier pass
+                # can fold slice-of-gather into a 1-row gather (ADVICE r3)
+                return acc + jnp.sum(out.astype(jnp.float32), axis=0)
             return jax.lax.fori_loop(0, G_ITERS, body,
                                      jnp.zeros((F,), jnp.float32))
 
