@@ -1,6 +1,13 @@
-from mini_tpu.algorithms.bfs import bfs, bfs_cpu, BfsResult, validate_preds  # noqa: F401
+from mini_tpu.algorithms.bfs import (  # noqa: F401
+    bfs,
+    bfs_batch,
+    bfs_cpu,
+    BfsResult,
+    validate_preds,
+)
 from mini_tpu.algorithms.sssp import (  # noqa: F401
     sssp,
+    sssp_batch,
     sssp_cpu,
     SsspResult,
     validate_pred_tree,

@@ -46,6 +46,9 @@ class SsspResult:
     preds: jnp.ndarray  # int32[n_pad], -1 for src/unreached
     num_iterations: jnp.ndarray
     num_sparse_iterations: jnp.ndarray
+    sparse_overflowed: jnp.ndarray  # bool: any sparse tier dropped work
+    # (must stay False under the capacity-fit tier selection; cf. the
+    # reference's exit-on-overflow, `frontier.hxx:85-93`)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -73,7 +76,7 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
         )
         improved = best < dist
         dist = jnp.minimum(dist, best)
-        return dist, improved
+        return dist, improved, jnp.bool_(False)
 
     tiers = default_tiers(g, capv, cape) if cape > 1 else []
 
@@ -82,8 +85,8 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
             """Bounded compact-frontier relax: same f32 min over the same
             candidate set -> bitwise-identical to the dense sweep."""
             dist, frontier, it = ops
-            idx, cnt, _ = compact_frontier(frontier, tier_capv)
-            esrc, edst, eid, valid, _ = expand_frontier(
+            idx, cnt, v_ovf = compact_frontier(frontier, tier_capv)
+            esrc, edst, eid, valid, total = expand_frontier(
                 g, idx, cnt, tier_cape
             )
             cand = dist[esrc] + g.csr_weights[eid]
@@ -93,14 +96,14 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
                 jnp.where(valid, cand, inf), mode="drop"
             )[:n_pad]
             improved = dist2 < dist
-            return dist2, improved
+            return dist2, improved, v_ovf | (total > tier_cape)
 
         return sparse_step
 
     branches = [make_sparse_step(cv, ce) for cv, ce in tiers] + [dense_step]
 
     def step(state):
-        dist, frontier, it, sparses = state
+        dist, frontier, it, sparses, ovf = state
         fe = frontier_edge_count(g, frontier)
         fl = jnp.sum(frontier, dtype=jnp.int32)
         tier_idx = jnp.int32(len(tiers))
@@ -109,18 +112,22 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
             tier_idx = jnp.where(
                 (fe <= ce) & (fl <= cv), jnp.int32(i), tier_idx
             )
-        dist, improved = jax.lax.switch(
+        dist, improved, step_ovf = jax.lax.switch(
             tier_idx, branches, (dist, frontier, it)
         )
         is_sparse = tier_idx < len(tiers)
-        return dist, improved, it + 1, sparses + is_sparse.astype(jnp.int32)
+        return (
+            dist, improved, it + 1,
+            sparses + is_sparse.astype(jnp.int32), ovf | step_ovf,
+        )
 
     def cond(state):
-        _, frontier, it, _ = state
+        _, frontier, it, _, _ = state
         return jnp.any(frontier) & (it < max_iter)
 
-    dist, _, it, sparses = jax.lax.while_loop(
-        cond, step, (dist0, frontier0, jnp.int32(0), jnp.int32(0))
+    dist, _, it, sparses, ovf = jax.lax.while_loop(
+        cond, step,
+        (dist0, frontier0, jnp.int32(0), jnp.int32(0), jnp.bool_(False)),
     )
 
     # predecessors in one post-pass: pred[v] = min{u : dist[u]+w == dist[v]}
@@ -139,7 +146,7 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
         jnp.isfinite(dist) & (pred_min != INT_MAX), pred_min, -1
     ).astype(jnp.int32)
     preds = preds.at[src].set(-1)
-    return SsspResult(dist, preds, it, sparses)
+    return SsspResult(dist, preds, it, sparses, ovf)
 
 
 def sssp(
@@ -160,6 +167,38 @@ def sssp(
     return _sssp_impl(
         g, jnp.asarray(src), int(max_iter), int(sparse_capv),
         int(sparse_cape),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _sssp_batch_impl(g, srcs, max_iter, capv, cape):
+    def body(_, s):
+        return None, _sssp_impl(g, s, max_iter, capv, cape)
+
+    _, res = jax.lax.scan(body, None, srcs)
+    return res
+
+
+def sssp_batch(
+    g: GraphSlice,
+    srcs,
+    max_iter: int | None = None,
+    sparse_capv: int | None = None,
+    sparse_cape: int | None = None,
+) -> SsspResult:
+    """Multi-source SSSP in one jitted ``lax.scan`` over sources — the
+    dispatch-amortized batch form (see :func:`mini_tpu.algorithms.bfs.
+    bfs_batch` for the design rationale).  Each result field gains a
+    leading ``[len(srcs)]`` axis; bitwise-identical to per-source calls."""
+    if max_iter is None:
+        max_iter = g.n_pad
+    if sparse_capv is None:
+        sparse_capv = min(g.n_pad, max(2048, g.m_pad // 64))
+    if sparse_cape is None:
+        sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
+    srcs = jnp.atleast_1d(jnp.asarray(srcs, jnp.int32))
+    return _sssp_batch_impl(
+        g, srcs, int(max_iter), int(sparse_capv), int(sparse_cape)
     )
 
 

@@ -60,7 +60,7 @@ def main(argv=None):
     p.add_argument(
         "algo",
         choices=["bfs", "sssp", "pr", "coloring", "kcore", "lspar",
-                 "cc", "gcn"],
+                 "cc", "gcn", "gat", "sage"],
     )
     p.add_argument("--file", default=None)
     p.add_argument("--rmat-scale", type=int, default=None)
@@ -75,6 +75,15 @@ def main(argv=None):
     )
     p.add_argument("--edge-factor", type=int, default=16)
     p.add_argument("--src", type=int, default=0)
+    p.add_argument(
+        "--sources", default=None,
+        help="comma list of sources for batched BFS/SSSP (one jitted scan "
+        "amortizes the per-dispatch cost across the batch)",
+    )
+    p.add_argument(
+        "--heads", type=int, default=2,
+        help="gat: attention heads per layer",
+    )
     p.add_argument("--alpha", type=float, default=None)
     p.add_argument("--undirected", action="store_true")
     p.add_argument("--random-weights", action="store_true")
@@ -129,44 +138,85 @@ def main(argv=None):
         else max(2048, int(gs.m_pad * args.queue_sizing))
     )
 
+    srcs = (
+        [int(s) for s in args.sources.split(",")]
+        if args.sources
+        else None
+    )
+
     if args.algo == "bfs":
         from mini_tpu.algorithms import bfs, bfs_cpu
+        from mini_tpu.algorithms.bfs import bfs_batch
 
-        res = bfs(gs, args.src, alpha=args.alpha, sparse_capv=qs_cap,
-                  sparse_cape=qs_cap)
-        t = time_fn(lambda: bfs(gs, args.src, alpha=args.alpha,
-                                sparse_capv=qs_cap, sparse_cape=qs_cap))
-        reached = np.asarray(res.labels) >= 0
-        edges = hg.out_degrees[reached[: hg.n]].sum()
-        print(
-            f"iterations: {int(res.num_iterations)} "
-            f"(pull: {int(res.num_pull_iterations)})"
+        if srcs is not None:
+            run = lambda: bfs_batch(gs, srcs, alpha=args.alpha,  # noqa: E731
+                                    sparse_capv=qs_cap,
+                                    sparse_cape=qs_cap)
+        else:
+            run = lambda: bfs(gs, args.src, alpha=args.alpha,  # noqa: E731
+                              sparse_capv=qs_cap, sparse_cape=qs_cap)
+        res = run()
+        t = time_fn(run)
+        labels = np.asarray(res.labels)
+        labels2d = labels if labels.ndim == 2 else labels[None]
+        edges = sum(
+            hg.out_degrees[(lab >= 0)[: hg.n]].sum() for lab in labels2d
         )
-        print(f"elapsed: {t.min_s * 1e3:.3f} ms  MTEPS: {t.mteps(edges):.1f}")
-        display_device_data(res.labels, name="labels")
+        if bool(np.any(np.asarray(res.sparse_overflowed))):
+            print("WARNING: sparse tier overflowed — result untrusted")
+        print(
+            f"iterations: {np.asarray(res.num_iterations).tolist()} "
+            f"(pull: {np.asarray(res.num_pull_iterations).tolist()})"
+        )
+        per = f" ({t.min_s / labels2d.shape[0] * 1e3:.3f} ms/src)" \
+            if labels.ndim == 2 else ""
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms{per}  "
+              f"MTEPS: {t.mteps(edges):.1f}")
+        display_device_data(labels2d[0], name="labels")
         if args.validate:
-            ok = validate_exact(
-                np.asarray(res.labels)[: hg.n], bfs_cpu(hg, args.src)
+            ok = all(
+                validate_exact(lab[: hg.n], bfs_cpu(hg, s))
+                for lab, s in zip(
+                    labels2d, srcs if srcs is not None else [args.src]
+                )
             )
             print("Correct." if ok else "Validation Error.")
             return 0 if ok else 1
     elif args.algo == "sssp":
         from mini_tpu.algorithms import sssp, sssp_cpu
+        from mini_tpu.algorithms.sssp import sssp_batch
 
-        res = sssp(gs, args.src, sparse_capv=qs_cap, sparse_cape=qs_cap)
-        t = time_fn(lambda: sssp(gs, args.src, sparse_capv=qs_cap,
-                                 sparse_cape=qs_cap))
-        reached = np.isfinite(np.asarray(res.dists))
+        if srcs is not None:
+            run = lambda: sssp_batch(gs, srcs, sparse_capv=qs_cap,  # noqa: E731
+                                     sparse_cape=qs_cap)
+        else:
+            run = lambda: sssp(gs, args.src, sparse_capv=qs_cap,  # noqa: E731
+                               sparse_cape=qs_cap)
+        res = run()
+        t = time_fn(run)
+        dists = np.asarray(res.dists)
+        dists2d = dists if dists.ndim == 2 else dists[None]
         # standard MTEPS accounting: edges in the reached component
         # (same convention as BFS; the reference prints raw wall clock only,
         # tests/sssp/test_sssp.cu:38-42)
-        edges = hg.out_degrees[reached[: hg.n]].sum()
-        print(f"iterations: {int(res.num_iterations)}")
-        print(f"elapsed: {t.min_s * 1e3:.3f} ms  MTEPS: {t.mteps(edges):.1f}")
-        display_device_data(res.dists, name="dists")
+        edges = sum(
+            hg.out_degrees[np.isfinite(d)[: hg.n]].sum() for d in dists2d
+        )
+        if bool(np.any(np.asarray(res.sparse_overflowed))):
+            print("WARNING: sparse tier overflowed — result untrusted")
+        print(f"iterations: {np.asarray(res.num_iterations).tolist()}")
+        per = f" ({t.min_s / dists2d.shape[0] * 1e3:.3f} ms/src)" \
+            if dists.ndim == 2 else ""
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms{per}  "
+              f"MTEPS: {t.mteps(edges):.1f}")
+        display_device_data(dists2d[0], name="dists")
         if args.validate:
-            exp, _ = sssp_cpu(hg, args.src)
-            ok = validate_exact(np.asarray(res.dists)[: hg.n], exp)
+            ok = all(
+                validate_exact(d[: hg.n], sssp_cpu(hg, s)[0])
+                for d, s in zip(
+                    dists2d, srcs if srcs is not None else [args.src]
+                )
+            )
             print("Correct." if ok else "Validation Error.")
             return 0 if ok else 1
     elif args.algo == "pr":
@@ -282,6 +332,51 @@ def main(argv=None):
             got = np.asarray(fwd(params, x))[: hg.n]
             # f32 device vs f64 oracle; tolerance absorbs the banded
             # split-bf16 accumulation (~1e-5 relative)
+            ok = np.allclose(got, exp, rtol=2e-3, atol=2e-3)
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
+    elif args.algo == "gat":
+        import jax
+        import jax.numpy as jnp
+        from mini_tpu.models.gat import (
+            gat_init, gat_forward, gat_forward_cpu,
+        )
+
+        params = gat_init(
+            jax.random.PRNGKey(args.seed), [128, 32, 32], heads=args.heads
+        )
+        rng = np.random.RandomState(args.seed)
+        x = jnp.asarray(rng.rand(gs.n_pad, 128).astype(np.float32) * 0.1)
+        fwd = jax.jit(lambda p, xx: gat_forward(p, gs, xx))
+        t = time_fn(lambda: fwd(params, x))
+        eps = 2 * hg.m / t.min_s  # 2 layers
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms  agg edges/s: {eps:.3e}")
+        if args.validate:
+            params_np = jax.tree_util.tree_map(np.asarray, params)
+            exp = gat_forward_cpu(params_np, hg, np.asarray(x))
+            got = np.asarray(fwd(params, x))[: hg.n]
+            # f32 device (banded split ~1e-5) vs f64 sparse oracle
+            ok = np.allclose(got, exp, rtol=2e-3, atol=2e-3)
+            print("Correct." if ok else "Validation Error.")
+            return 0 if ok else 1
+    elif args.algo == "sage":
+        import jax
+        import jax.numpy as jnp
+        from mini_tpu.models.sage import (
+            sage_init, sage_forward, sage_forward_cpu,
+        )
+
+        params = sage_init(jax.random.PRNGKey(args.seed), [128, 128, 32])
+        rng = np.random.RandomState(args.seed)
+        x = jnp.asarray(rng.rand(gs.n_pad, 128).astype(np.float32))
+        fwd = jax.jit(lambda p, xx: sage_forward(p, gs, xx))
+        t = time_fn(lambda: fwd(params, x))
+        eps = 2 * hg.m / t.min_s
+        print(f"elapsed: {t.min_s * 1e3:.3f} ms  agg edges/s: {eps:.3e}")
+        if args.validate:
+            params_np = jax.tree_util.tree_map(np.asarray, params)
+            exp = sage_forward_cpu(params_np, hg, np.asarray(x))
+            got = np.asarray(fwd(params, x))[: hg.n]
             ok = np.allclose(got, exp, rtol=2e-3, atol=2e-3)
             print("Correct." if ok else "Validation Error.")
             return 0 if ok else 1

@@ -44,18 +44,6 @@ def segment_softmax_by_dst(g: GraphSlice, scores: jnp.ndarray) -> jnp.ndarray:
     return e / denom_e
 
 
-def _spmm_lane_padded(g: GraphSlice, hw: jnp.ndarray, alpha: jnp.ndarray):
-    """Attention-weighted pull-SpMM with the head dim padded to the MXU
-    lane width so the Pallas one-hot segment-sum kernel applies (the XLA
-    path costs ~2.2x; zero columns cost nothing but MXU occupancy)."""
-    f = hw.shape[-1]
-    fp = -(-f // 128) * 128
-    if fp != f:
-        hw = jnp.pad(hw, ((0, 0), (0, fp - f)))
-    out = spmm(g, hw, direction="pull", weights=alpha)
-    return out[:, :f]
-
-
 def gat_init(
     key: jax.Array,
     dims: Sequence[int],
@@ -92,18 +80,37 @@ def gat_forward(
     negative_slope: float = 0.2,
     message_dtype=None,
     batch_softmax: bool = False,
+    attn: str = "fused",
 ) -> jnp.ndarray:
     """``message_dtype=jnp.bfloat16`` casts the aggregated head features
     to bf16 for the attention SpMM (single-pass MXU pipeline, ~1e-3
     relative error — the training fast path; scores/softmax stay f32).
 
-    ``batch_softmax`` runs the score/softmax phase once over a
-    ``[m_pad, H]`` array instead of once per head (bit-identical either
-    way).  Measured on v5e at rmat16/H=2: the batched layout is ~27%
-    SLOWER (127 vs 100 ms full fwd) — a trailing H axis occupies H of
-    128 lanes per vreg, so each scan step moves 64x the vregs.  Per-head
-    (False) is the TPU default; True is kept for wide-H experiments and
-    as the measured record.
+    ``attn`` selects the attention-phase implementation:
+
+    * ``"fused"`` (default, round 4): no per-segment softmax at all.
+      LeakyReLU is monotone, so the EXACT per-dst stabilizer
+      ``max_u LRelu(s_src[u] + s_dst[v]) = LRelu(max_u s_src[u] + s_dst[v])``
+      — and any upper bound of ``max_u s_src[u]`` keeps ``exp`` in
+      (0, 1], so the GLOBAL max of the src scores (one vector reduce)
+      replaces the per-segment max-scan + its edge expansion.  The
+      softmax DENOMINATOR rides the aggregation SpMM as a ones-column in
+      each head's lane padding (out_v = [sum_u w h_u, sum_u w]), so the
+      sum-scan, its expansion, and the per-edge divide collapse into one
+      per-vertex divide.  Eliminates 2 segmented scans + 2 edge
+      expansions + 1 edge-wide divide per head per layer vs the round-3
+      softmax path (measured 99 -> 61 ms wall f32, 45 ms bf16 at
+      rmat16/H=2 on v5e).  Numerics: stabilizer shift cancels in the
+      ratio; underflow only if a segment's scores sit > ~80 below the
+      global max (f32) — not reachable with normalized inputs.
+    * ``"softmax"``: the round-3 path (exact per-segment max + explicit
+      normalization), kept as the conservatively-stable variant and for
+      the ``segment_softmax_by_dst`` record.
+
+    ``batch_softmax`` (softmax path only) runs the score/softmax phase
+    once over ``[m_pad, H]`` instead of per head.  Measured on v5e at
+    rmat16/H=2: ~27% SLOWER (lane-occupancy — the H axis wastes 126 of
+    128 lanes per vreg); kept for wide-H experiments.
     """
     import math
 
@@ -116,30 +123,63 @@ def gat_forward(
             jnp.dot(h, layer["w"][hd], preferred_element_type=jnp.float32)
             for hd in range(n_heads)
         ]
-        # all heads' src scores ride ONE permutation sort (multi-payload);
-        # the dst scores batch into ONE [n_pad, H] expansion, and the
-        # whole softmax phase (mask, max-scan, exp, sum-scan, divide)
-        # runs once over [m_pad, H] instead of per head
-        e_src = src_vals_to_csc(
-            g, *[hws[hd] @ layer["a_src"][hd] for hd in range(n_heads)]
-        )
+        # all heads' src scores ride ONE permutation sort (multi-payload)
+        s_src_l = [hws[hd] @ layer["a_src"][hd] for hd in range(n_heads)]
+        e_src = src_vals_to_csc(g, *s_src_l)
         if n_heads == 1:
             e_src = (e_src,)
         s_dst_l = [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)]
-        if batch_softmax:
-            s_dst = jnp.stack(s_dst_l, axis=-1)
-            e = jnp.stack(e_src, axis=-1) + dst_vals_to_csc(g, s_dst)
-            e = jax.nn.leaky_relu(e, negative_slope)
-            alpha = segment_softmax_by_dst(g, e)  # [m_pad, H]
-        else:
-            alphas = []
+
+        if attn == "fused":
+            mask = g.edge_mask_csc
+            ws = []
             for hd in range(n_heads):
-                eh = e_src[hd] + dst_vals_to_csc(g, s_dst_l[hd])
-                eh = jax.nn.leaky_relu(eh, negative_slope)
-                alphas.append(segment_softmax_by_dst(g, eh))
-            alpha = jnp.stack(alphas, axis=-1)
+                ed = dst_vals_to_csc(g, s_dst_l[hd])
+                e = jax.nn.leaky_relu(e_src[hd] + ed, negative_slope)
+                bound = jax.nn.leaky_relu(
+                    jnp.max(s_src_l[hd]) + ed, negative_slope
+                )
+                ws.append(jnp.where(mask, jnp.exp(e - bound), 0.0))
+            alpha = jnp.stack(ws, axis=-1)  # unnormalized, in (0, 1]
+        elif attn == "softmax":
+            if batch_softmax:
+                s_dst = jnp.stack(s_dst_l, axis=-1)
+                e = jnp.stack(e_src, axis=-1) + dst_vals_to_csc(g, s_dst)
+                e = jax.nn.leaky_relu(e, negative_slope)
+                alpha = segment_softmax_by_dst(g, e)  # [m_pad, H]
+            else:
+                alphas = []
+                for hd in range(n_heads):
+                    eh = e_src[hd] + dst_vals_to_csc(g, s_dst_l[hd])
+                    eh = jax.nn.leaky_relu(eh, negative_slope)
+                    alphas.append(segment_softmax_by_dst(g, eh))
+                alpha = jnp.stack(alphas, axis=-1)
+        else:
+            raise ValueError(f"unknown attn {attn!r}")
+
+        fused = attn == "fused"
         if n_heads == 1:
-            heads = [_spmm_lane_padded(g, hws[0], alpha[:, 0])]
+            f = hws[0].shape[-1]
+            fp = -(-f // 128) * 128
+            ones_col = fp > f and fused  # denom rides the lane padding
+            hw_p = jnp.pad(hws[0], ((0, 0), (0, fp - f)))
+            if ones_col:
+                hw_p = hw_p.at[:, f].set(1.0)
+            if message_dtype is not None:
+                hw_p = hw_p.astype(message_dtype)
+            out = spmm(
+                g, hw_p, direction="pull", weights=alpha[:, 0]
+            ).astype(jnp.float32)
+            if fused:
+                denom = (
+                    out[:, f]
+                    if ones_col
+                    else reduce_csc_by_dst(g, alpha[:, 0], "sum")
+                )
+                denom = jnp.maximum(denom, 1e-30)
+                heads = [out[:, :f] / denom[:, None]]
+            else:
+                heads = [out[:, :f]]
         else:
             # batch ALL heads into one blockwise SpMM: each head's dim is
             # padded so the concat is lane-aligned, one gather + one MXU
@@ -147,6 +187,10 @@ def gat_forward(
             # head, 75% MXU waste at d=32..64)
             step = 128 // math.gcd(n_heads, 128)
             d_pad = -(-d // step) * step
+            # fused denominators ride a ones-column when the head blocks
+            # have lane padding anyway; when d is already lane-aligned the
+            # SpMM is NOT widened — one segment-sum scan per head instead
+            ones_col = d_pad > d and fused
             if d_pad != d:
                 hws_p = [
                     jnp.pad(hw, ((0, 0), (0, d_pad - d))) for hw in hws
@@ -154,16 +198,31 @@ def gat_forward(
             else:
                 hws_p = hws
             hw_cat = jnp.concatenate(hws_p, axis=-1)
+            if ones_col:
+                ones_cols = jnp.arange(n_heads) * d_pad + d
+                hw_cat = hw_cat.at[:, ones_cols].set(1.0)
             if message_dtype is not None:
                 hw_cat = hw_cat.astype(message_dtype)
             out = spmm(
                 g, hw_cat, direction="pull", weights=alpha,
                 heads=n_heads,
             ).astype(jnp.float32)
-            heads = [
-                out[:, hd * d_pad: hd * d_pad + d]
-                for hd in range(n_heads)
-            ]
+            if fused:
+                heads = []
+                for hd in range(n_heads):
+                    blk = out[:, hd * d_pad: hd * d_pad + d]
+                    denom = (
+                        out[:, hd * d_pad + d]
+                        if ones_col
+                        else reduce_csc_by_dst(g, alpha[:, hd], "sum")
+                    )
+                    denom = jnp.maximum(denom, 1e-30)
+                    heads.append(blk / denom[:, None])
+            else:
+                heads = [
+                    out[:, hd * d_pad: hd * d_pad + d]
+                    for hd in range(n_heads)
+                ]
         if i < n_layers - 1:
             h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
         else:

@@ -67,3 +67,18 @@ def test_cli_rmat(capsys):
 def test_cli_cc(capsys):
     assert main(["cc", "--file", FIXTURE, "--undirected", "--validate"]) == 0
     assert "Correct." in capsys.readouterr().out
+
+
+def test_cli_batched_sources(capsys):
+    assert main(["bfs", "--file", FIXTURE, "--undirected",
+                 "--sources", "0,2,5", "--validate"]) == 0
+    assert "Correct." in capsys.readouterr().out
+    assert main(["sssp", "--file", FIXTURE, "--undirected",
+                 "--sources", "0,3", "--validate"]) == 0
+    assert "Correct." in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("algo", ["gat", "sage"])
+def test_cli_gnn_drivers(algo, capsys):
+    assert main([algo, "--rmat-scale", "8", "--validate"]) == 0
+    assert "Correct." in capsys.readouterr().out
