@@ -65,6 +65,12 @@ class BandedLayout:
     # values riding the layout via one static-rank sort):
     banded_rank: np.ndarray  # int32[m_pad]
     eids: list  # np.int32[mk_pad] — original edge id per banded slot
+    # per-band segment offsets over ALL n_pad segments (offsets[k][v] =
+    # first slot of dst v's edges within band k's stream) — lets per-dst
+    # values EXPAND directly into banded order (GAT's banded-native
+    # attention), skipping the permute sort entirely:
+    offsets: Optional[list] = None  # np.int32[n_pad+1] per band
+    valid: Optional[list] = None  # np.bool_[mk_pad] — real (non-ghost) edges
     w_binary: bool = False  # all graph edge weights in {0, 1}: a bf16
     # multiply is then exact, enabling the split-before-gather fast path
     edge_chunk: int = EDGE_CHUNK  # per-band stream padding multiple; the
@@ -114,6 +120,10 @@ class BandedLayout:
                     ),
                     banded_rank=jnp.asarray(self.banded_rank),
                     inv_rank=jnp.asarray(inv),
+                    offsets=[
+                        jnp.asarray(o) for o in (self.offsets or [])
+                    ],
+                    valid=[jnp.asarray(v) for v in (self.valid or [])],
                 )
         return self._dev
 
@@ -291,6 +301,7 @@ def build_banded_layout(
     band = np.where(edge_valid, band, K - 1)  # pad edges -> last band
 
     ids, w_b, lens, eids = [], [], [], []
+    band_offsets, band_valid = [], []
     bounds = np.zeros((K, n_pad // ROW_TILE + 1), np.int32)
     offs2d = np.zeros((K, n_pad // ROW_TILE, ROW_TILE), np.int32)
     banded_rank = np.empty(m_pad, np.int64)
@@ -310,6 +321,9 @@ def build_banded_layout(
             np.concatenate([idx.astype(np.int32),
                             np.zeros(pad, np.int32)])
         )
+        band_valid.append(
+            np.concatenate([edge_valid[idx], np.zeros(pad, bool)])
+        )
         lens.append(mk)
         # per-dst offsets within this band's stream
         cnt = np.bincount(seg[idx], minlength=n_pad)
@@ -317,6 +331,7 @@ def build_banded_layout(
         np.cumsum(cnt, out=offk[1:])
         bounds[k] = offk[::ROW_TILE].astype(np.int32)
         offs2d[k] = offk[:n_pad].reshape(-1, ROW_TILE).astype(np.int32)
+        band_offsets.append(offk.astype(np.int32))
         banded_rank[idx] = flat_base + np.arange(mk)
         flat_base += mk_pad
 
@@ -342,6 +357,8 @@ def build_banded_layout(
         offs2d=offs2d,
         banded_rank=banded_rank_full,
         eids=eids,
+        offsets=band_offsets,
+        valid=band_valid,
         w_binary=bool(
             np.all((weights == 0.0) | (weights == 1.0))
         ),

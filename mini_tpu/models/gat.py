@@ -23,7 +23,118 @@ from mini_tpu.ops.engine import (
     dst_vals_to_csc,
     reduce_csc_by_dst,
 )
+from mini_tpu.ops.permute import expand_to_edges
 from mini_tpu.ops.spmm import spmm
+
+
+def _gat_layer_banded(
+    g: GraphSlice,
+    hws: list,
+    a_src_l: list,  # per-head [d] attention vectors (score projectors)
+    s_src_l: list,  # per-head [n_pad] vertex src scores (for the bound)
+    s_dst_l: list,  # per-head [n_pad] vertex dst scores
+    d: int,
+    negative_slope: float,
+    message_dtype,
+    force: bool = False,
+):
+    """Banded-native attention layer (round 4, forward-only):
+
+    Scores, softmax weights, AND messages are all derived from the SAME
+    K band gathers that feed the aggregation SpMM — per band:
+    ``sc = xg @ A_src`` (the gathered rows already contain h_u W),
+    ``ed`` expands s_dst through the band's own segment offsets
+    (``BandedLayout.offsets``, new in round 4), and the unnormalized
+    softmax weight ``w = exp(LRelu(sc+ed) - LRelu(gmax+ed))`` multiplies
+    the gathered rows in place.  Eliminates vs the engine path: the
+    CSR->CSC score sort, both CSC edge expansions, the [m, H] weight
+    permute sort into banded order, and every segmented scan — nothing
+    per-edge remains outside the gather+kernel pipeline.  Denominators
+    ride a ones-column in each head's lane padding.
+
+    Returns the per-head normalized outputs, or None when the layout /
+    padding preconditions do not hold (caller falls back to the fused
+    engine path).  NOT differentiable (raw Pallas kernel call) — training
+    uses ``attn="fused"``.
+    """
+    import math
+
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if not (on_tpu or force):  # force=True: interpret-mode CI coverage
+        return None
+    from mini_tpu.graph.banded import get_layout
+    from mini_tpu.ops.pallas.spmm_banded import banded_segment_sum
+
+    H = len(hws)
+    step = 128 // math.gcd(H, 128)
+    d_pad = -(-d // step) * step
+    if d_pad <= d:  # no free denominator lane
+        return None
+    F = H * d_pad
+    if F % 128 != 0:
+        return None
+    layout = get_layout(g, "pull", row_bytes=F * 4)
+    if layout is None or not layout.offsets:
+        return None
+    n_pad = layout.n_pad
+    if hws[0].shape[0] != n_pad:
+        return None
+
+    # hw_cat with the denominator ones-column built by CONCAT (an
+    # .at[].set scatter would sit on the gather's critical path)
+    ones = jnp.ones((n_pad, 1), jnp.float32)
+    parts = []
+    for hw in hws:
+        parts.append(hw)
+        parts.append(ones)
+        if d_pad - d - 1 > 0:
+            parts.append(
+                jnp.zeros((n_pad, d_pad - d - 1), jnp.float32)
+            )
+    hw_cat = jnp.concatenate(parts, axis=-1)
+    if message_dtype is not None:
+        hw_cat = hw_cat.astype(message_dtype)
+
+    # block-diagonal src-score projector [F, H] (zeros over the padding
+    # rows, so the ones-column never leaks into scores)
+    A = jnp.zeros((F, H), jnp.float32)
+    for hd in range(H):
+        A = A.at[hd * d_pad: hd * d_pad + d, hd].set(a_src_l[hd])
+    s_dst = jnp.stack(s_dst_l, axis=-1)  # [n_pad, H]
+    gmax = jnp.stack([jnp.max(s) for s in s_src_l])
+
+    dev = layout.dev()
+    msgs = []
+    for k in range(layout.K):
+        lo = k * layout.band_rows
+        hi = min(lo + layout.band_rows, n_pad)
+        xg = hw_cat[lo:hi][dev["ids"][k]]  # [mk_pad, F]
+        mk = xg.shape[0]
+        sc = jnp.dot(
+            xg, A.astype(xg.dtype), preferred_element_type=jnp.float32
+        )  # [mk_pad, H]
+        ed = expand_to_edges(s_dst, dev["offsets"][k], mk)
+        e = jax.nn.leaky_relu(sc + ed, negative_slope)
+        bound = jax.nn.leaky_relu(gmax[None, :] + ed, negative_slope)
+        w = jnp.where(
+            dev["valid"][k][:, None], jnp.exp(e - bound), 0.0
+        )
+        xg = (
+            xg.reshape(mk, H, d_pad) * w[:, :, None].astype(xg.dtype)
+        ).reshape(mk, F)
+        msgs.append(xg)
+    out = banded_segment_sum(
+        dev["bounds"], dev["offs2d"], msgs, precision="split",
+        edge_chunk=layout.edge_chunk, interpret=not on_tpu,
+    )
+    heads = []
+    for hd in range(H):
+        blk = out[:, hd * d_pad: hd * d_pad + d]
+        denom = jnp.maximum(out[:, hd * d_pad + d], 1e-30)
+        heads.append(blk / denom[:, None])
+    return heads
 
 
 def segment_softmax_by_dst(g: GraphSlice, scores: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +191,7 @@ def gat_forward(
     negative_slope: float = 0.2,
     message_dtype=None,
     batch_softmax: bool = False,
-    attn: str = "fused",
+    attn: str = "auto",
 ) -> jnp.ndarray:
     """``message_dtype=jnp.bfloat16`` casts the aggregated head features
     to bf16 for the attention SpMM (single-pass MXU pipeline, ~1e-3
@@ -88,7 +199,13 @@ def gat_forward(
 
     ``attn`` selects the attention-phase implementation:
 
-    * ``"fused"`` (default, round 4): no per-segment softmax at all.
+    * ``"banded"`` / ``"auto"`` on TPU (default, round 4): the
+      banded-native layer (:func:`_gat_layer_banded`) — scores, weights,
+      and messages all born in banded order from one set of band
+      gathers; no per-edge pass outside the gather+kernel pipeline.
+      Forward-only; ``"auto"`` falls back to ``"fused"`` off-TPU, when
+      no banded layout exists, or when a head dim has no spare lane.
+    * ``"fused"``: engine-ops path without a per-segment softmax.
       LeakyReLU is monotone, so the EXACT per-dst stabilizer
       ``max_u LRelu(s_src[u] + s_dst[v]) = LRelu(max_u s_src[u] + s_dst[v])``
       — and any upper bound of ``max_u s_src[u]`` keeps ``exp`` in
@@ -97,15 +214,15 @@ def gat_forward(
       softmax DENOMINATOR rides the aggregation SpMM as a ones-column in
       each head's lane padding (out_v = [sum_u w h_u, sum_u w]), so the
       sum-scan, its expansion, and the per-edge divide collapse into one
-      per-vertex divide.  Eliminates 2 segmented scans + 2 edge
-      expansions + 1 edge-wide divide per head per layer vs the round-3
-      softmax path (measured 99 -> 61 ms wall f32, 45 ms bf16 at
-      rmat16/H=2 on v5e).  Numerics: stabilizer shift cancels in the
-      ratio; underflow only if a segment's scores sit > ~80 below the
-      global max (f32) — not reachable with normalized inputs.
+      per-vertex divide.  Differentiable end-to-end — the training path.
+      Numerics: the stabilizer shift cancels in the ratio; underflow
+      only if a segment's scores sit > ~80 below the global max (f32).
     * ``"softmax"``: the round-3 path (exact per-segment max + explicit
       normalization), kept as the conservatively-stable variant and for
-      the ``segment_softmax_by_dst`` record.
+      the ``segment_softmax_by_dst`` record.  (Measured wall f32 at
+      rmat16/H=2 on v5e: softmax 99.0, fused 105.3 — the fused path's
+      removed scans were hidden behind the SpMM gather by XLA's
+      scheduler, so banded is the perf path, fused the autodiff path.)
 
     ``batch_softmax`` (softmax path only) runs the score/softmax phase
     once over ``[m_pad, H]`` instead of per head.  Measured on v5e at
@@ -123,14 +240,29 @@ def gat_forward(
             jnp.dot(h, layer["w"][hd], preferred_element_type=jnp.float32)
             for hd in range(n_heads)
         ]
-        # all heads' src scores ride ONE permutation sort (multi-payload)
         s_src_l = [hws[hd] @ layer["a_src"][hd] for hd in range(n_heads)]
+        s_dst_l = [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)]
+
+        if attn in ("auto", "banded"):
+            heads = _gat_layer_banded(
+                g, hws, [layer["a_src"][hd] for hd in range(n_heads)],
+                s_src_l, s_dst_l, d, negative_slope, message_dtype,
+                force=attn == "banded",
+            )
+            if heads is not None:
+                if i < n_layers - 1:
+                    h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
+                else:
+                    h = sum(heads) / len(heads)
+                continue
+
+        # engine path: all heads' src scores ride ONE permutation sort
+        # (multi-payload)
         e_src = src_vals_to_csc(g, *s_src_l)
         if n_heads == 1:
             e_src = (e_src,)
-        s_dst_l = [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)]
 
-        if attn == "fused":
+        if attn in ("fused", "auto", "banded"):
             mask = g.edge_mask_csc
             ws = []
             for hd in range(n_heads):
@@ -157,7 +289,7 @@ def gat_forward(
         else:
             raise ValueError(f"unknown attn {attn!r}")
 
-        fused = attn == "fused"
+        fused = attn != "softmax"
         if n_heads == 1:
             f = hws[0].shape[-1]
             fp = -(-f // 128) * 128

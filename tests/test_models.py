@@ -86,3 +86,16 @@ def test_gat_bf16_message_path_close_to_f32():
     np.testing.assert_allclose(
         np.asarray(out16), np.asarray(out32), rtol=3e-2, atol=3e-2
     )
+
+
+def test_gat_banded_attention_matches_oracle():
+    # the banded-native attention layer (scores/weights/messages all in
+    # banded order) in interpret mode vs the NumPy oracle
+    hg, gs, x = _setup(seed=4)
+    params = gat_init(jax.random.PRNGKey(6), [8, 16, 3], heads=2)
+    out = gat_forward(params, gs, x, attn="banded")
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    expect = gat_forward_cpu(params_np, hg, np.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out)[: hg.n], expect, rtol=1e-3, atol=1e-4
+    )
