@@ -19,7 +19,11 @@ import numpy as np
 # 2026-08-17); update only with the committed history, never per-run.
 BASELINE_MTEPS = 31.62
 
-SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+_argv = [a for a in sys.argv[1:] if a != "--trace"]
+TRACE = "--trace" in sys.argv[1:] or bool(
+    __import__("os").environ.get("MINI_TPU_BENCH_TRACE")
+)
+SCALE = int(_argv[0]) if _argv else 16
 EDGE_FACTOR = 16
 
 # Comma-separated section names to skip (gcn, gat, spmm, batch), e.g.
@@ -96,6 +100,22 @@ def main():
     edges_reached = float(hg.out_degrees[reached].sum())
     print("# bfs compiled", file=sys.stderr, flush=True)
     t = time_fn(lambda: bfs(gs, src), warmup=1, repeat=3)
+    if TRACE:
+        # one xprof trace of a BFS run + a banded SpMM — the named
+        # scopes (advance.*, engine.*, spmm.band_gather_*/banded_kernel)
+        # label the ops; view with TensorBoard.  The op-level ms table
+        # lives in TRACE_SUMMARY.md (bench_trace.py).
+        from mini_tpu.utils.profiling import trace as profiler_trace
+        from mini_tpu.ops.spmm import spmm as _spmm_tr
+
+        tdir = os.path.abspath("traces")
+        rngt = np.random.RandomState(0)
+        xt = jnp.asarray(rngt.rand(gs.n_pad, 128).astype(np.float32))
+        with profiler_trace(tdir):
+            jax.block_until_ready(bfs(gs, src).labels)
+            jax.block_until_ready(_spmm_tr(gs, xt, impl="banded"))
+        results["trace_dir"] = tdir
+        print(f"# trace written to {tdir}", file=sys.stderr, flush=True)
     bfs_mteps = edges_reached / t.min_s / 1e6
     results["bfs"] = {
         "iterations": int(res.num_iterations),
@@ -145,6 +165,13 @@ def main():
         ]
     if "gcn" in SKIP:
         gcn_variants = []
+    if SCALE >= 20:
+        # same guard as the SpMM section below (ADVICE r3): the f32
+        # message stream is m*F*4 = 17 GB at s20 and the over-capacity
+        # allocation HANGS the axon tunnel rather than erroring — and
+        # these sections run BEFORE the headline JSON print, so a hang
+        # here loses the round's output line
+        gcn_variants = [v for v in gcn_variants if v[2] == jnp.bfloat16]
     for name, impl, mdt in gcn_variants:
         try:
             fwd = jax.jit(
@@ -172,6 +199,9 @@ def main():
         gat_variants += [("bf16", jnp.bfloat16)]
     if "gat" in SKIP:
         gat_variants = []
+    if SCALE >= 20:
+        # f32 message stream exceeds HBM at s20 (see the GCN guard)
+        gat_variants = [v for v in gat_variants if v[1] == jnp.bfloat16]
     for name, mdt in gat_variants:
         try:
             fwd = jax.jit(
@@ -290,12 +320,20 @@ def main():
         results["bfs_batch"] = {"error": repr(exc)[:300]}
 
     flush()
-    if jax.default_backend() == "tpu" and not SKIP & {"gcn", "gat"}:
+    if jax.default_backend() == "tpu":
         model_rows = [
             ("gcn_inloop_f32", "gcn", "banded", None, 8),
             ("gcn_inloop_bf16", "gcn", "banded", jnp.bfloat16, 8),
             ("gat_inloop_f32", "gat", None, None, 4),
             ("gat_inloop_bf16", "gat", None, jnp.bfloat16, 4),
+        ]
+        # gate per kind (ADVICE r3: a blanket `not SKIP & {gcn,gat}`
+        # silently dropped BOTH kinds when either was skipped) and apply
+        # the same s20 f32-HBM guard as the forward sections
+        model_rows = [
+            row for row in model_rows
+            if row[1] not in SKIP
+            and not (SCALE >= 20 and row[3] is None)
         ]
         for label, kind, impl, mdt, r in model_rows:
             try:
@@ -308,6 +346,13 @@ def main():
                         return gat_forward(gat_params, gs, a,
                                            message_dtype=mdt)
                 run = jax.jit(
+                    # the carry is deliberately re-anchored to the
+                    # closed-over `x` each iteration: it keeps the carry
+                    # shape equal to the input shape (the layer output
+                    # (n_pad, 32) wouldn't typecheck as the next input)
+                    # and keeps activations in-range, while the scalar
+                    # jnp.sum(step(a)) term supplies the loop-carried
+                    # data dependency that defeats hoisting
                     lambda x0, step=step, r=r: jax.lax.fori_loop(
                         0, r,
                         lambda i, a: x + jnp.sum(step(a))

@@ -105,30 +105,37 @@ def _gat_layer_banded(
     s_dst = jnp.stack(s_dst_l, axis=-1)  # [n_pad, H]
     gmax = jnp.stack([jnp.max(s) for s in s_src_l])
 
+    from mini_tpu.utils.profiling import scope
+
     dev = layout.dev()
     msgs = []
     for k in range(layout.K):
         lo = k * layout.band_rows
         hi = min(lo + layout.band_rows, n_pad)
-        xg = hw_cat[lo:hi][dev["ids"][k]]  # [mk_pad, F]
-        mk = xg.shape[0]
-        sc = jnp.dot(
-            xg, A.astype(xg.dtype), preferred_element_type=jnp.float32
-        )  # [mk_pad, H]
-        ed = expand_to_edges(s_dst, dev["offsets"][k], mk)
-        e = jax.nn.leaky_relu(sc + ed, negative_slope)
-        bound = jax.nn.leaky_relu(gmax[None, :] + ed, negative_slope)
-        w = jnp.where(
-            dev["valid"][k][:, None], jnp.exp(e - bound), 0.0
-        )
-        xg = (
-            xg.reshape(mk, H, d_pad) * w[:, :, None].astype(xg.dtype)
-        ).reshape(mk, F)
+        with scope(f"gat.band_attn_{k}"):
+            xg = hw_cat[lo:hi][dev["ids"][k]]  # [mk_pad, F]
+            mk = xg.shape[0]
+            sc = jnp.dot(
+                xg, A.astype(xg.dtype),
+                preferred_element_type=jnp.float32,
+            )  # [mk_pad, H]
+            ed = expand_to_edges(s_dst, dev["offsets"][k], mk)
+            e = jax.nn.leaky_relu(sc + ed, negative_slope)
+            bound = jax.nn.leaky_relu(
+                gmax[None, :] + ed, negative_slope
+            )
+            w = jnp.where(
+                dev["valid"][k][:, None], jnp.exp(e - bound), 0.0
+            )
+            xg = (
+                xg.reshape(mk, H, d_pad) * w[:, :, None].astype(xg.dtype)
+            ).reshape(mk, F)
         msgs.append(xg)
-    out = banded_segment_sum(
-        dev["bounds"], dev["offs2d"], msgs, precision="split",
-        edge_chunk=layout.edge_chunk, interpret=not on_tpu,
-    )
+    with scope("gat.banded_kernel"):
+        out = banded_segment_sum(
+            dev["bounds"], dev["offs2d"], msgs, precision="split",
+            edge_chunk=layout.edge_chunk, interpret=not on_tpu,
+        )
     heads = []
     for hd in range(H):
         blk = out[:, hd * d_pad: hd * d_pad + d]

@@ -40,11 +40,14 @@ def src_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
     """per-edge value[src(e)] in CSC order: expand along CSR (sorted by
     src), then switch order with the static-rank sort.  Extra arrays ride
     the same sort as additional payloads."""
-    expanded = [
-        expand_to_edges(v, g.row_offsets, g.m_pad)
-        for v in (vertex_vals,) + more
-    ]
-    return apply_fixed_perm(g.csr_to_csc_rank, *expanded)
+    from mini_tpu.utils.profiling import scope
+
+    with scope("engine.src_to_csc"):
+        expanded = [
+            expand_to_edges(v, g.row_offsets, g.m_pad)
+            for v in (vertex_vals,) + more
+        ]
+        return apply_fixed_perm(g.csr_to_csc_rank, *expanded)
 
 
 def src_bits_to_csc(g: GraphSlice, bits: jnp.ndarray) -> jnp.ndarray:
@@ -57,7 +60,10 @@ def src_bits_to_csc(g: GraphSlice, bits: jnp.ndarray) -> jnp.ndarray:
 
 def dst_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray) -> jnp.ndarray:
     """per-edge value[dst(e)] in CSC order: pure expansion (dst sorted)."""
-    return expand_to_edges(vertex_vals, g.col_offsets, g.m_pad)
+    from mini_tpu.utils.profiling import scope
+
+    with scope("engine.expand_dst"):
+        return expand_to_edges(vertex_vals, g.col_offsets, g.m_pad)
 
 
 def src_vals_to_csr(g: GraphSlice, vertex_vals: jnp.ndarray) -> jnp.ndarray:
@@ -98,10 +104,13 @@ def reduce_csc_by_dst(
         if identity is None
         else jnp.asarray(identity, edge_vals.dtype)
     )
-    return _segreduce(
-        g, edge_vals, g.csc_dsts, g.col_offsets, op, ident,
-        g.max_in_degree,
-    )
+    from mini_tpu.utils.profiling import scope
+
+    with scope(f"engine.segreduce_dst.{op}"):
+        return _segreduce(
+            g, edge_vals, g.csc_dsts, g.col_offsets, op, ident,
+            g.max_in_degree,
+        )
 
 
 def reduce_csr_by_src(

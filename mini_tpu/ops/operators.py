@@ -108,25 +108,30 @@ def advance(
         dst_vals_to_csc,
         reduce_csc_by_dst,
     )
+    from mini_tpu.utils.profiling import scope
 
     if direction == "push":
-        ev = edges_by_dst(g)  # reduce by dst: CSC order
-        # gather-free frontier membership: the bit rides inside the sort
-        # key (single-array sort; see ops/engine.src_bits_to_csc)
-        member = src_bits_to_csc(g, frontier.mask)
-        active = member & ev.mask
-        if cond is not None:
-            active = active & cond(ev)
-        nxt = reduce_csc_by_dst(g, active, "or")
-        return Frontier(nxt), ev, active
+        with scope("advance.push"):
+            ev = edges_by_dst(g)  # reduce by dst: CSC order
+            # gather-free frontier membership: the bit rides inside the
+            # sort key (single-array sort; ops/engine.src_bits_to_csc)
+            member = src_bits_to_csc(g, frontier.mask)
+            active = member & ev.mask
+            if cond is not None:
+                active = active & cond(ev)
+            nxt = reduce_csc_by_dst(g, active, "or")
+            return Frontier(nxt), ev, active
     elif direction == "pull":
-        ev = edges_by_dst(g)
-        member = dst_vals_to_csc(g, frontier.mask.astype(jnp.int32)) > 0
-        active = member & ev.mask
-        if cond is not None:
-            active = active & cond(ev)
-        nxt = reduce_csc_by_dst(g, active, "or")
-        return Frontier(nxt), ev, active
+        with scope("advance.pull"):
+            ev = edges_by_dst(g)
+            member = (
+                dst_vals_to_csc(g, frontier.mask.astype(jnp.int32)) > 0
+            )
+            active = member & ev.mask
+            if cond is not None:
+                active = active & cond(ev)
+            nxt = reduce_csc_by_dst(g, active, "or")
+            return Frontier(nxt), ev, active
     raise ValueError(f"unknown direction {direction!r}")
 
 
@@ -146,9 +151,13 @@ def apply_to_dst(
     """
     from mini_tpu.ops.engine import reduce_csc_by_dst
     from mini_tpu.ops.segment import identity_for
+    from mini_tpu.utils.profiling import scope
 
-    masked = jnp.where(active, values, identity_for(op, values.dtype))
-    return reduce_csc_by_dst(g, masked, op)
+    with scope("apply_to_dst"):
+        masked = jnp.where(
+            active, values, identity_for(op, values.dtype)
+        )
+        return reduce_csc_by_dst(g, masked, op)
 
 
 def filter_frontier(
@@ -193,6 +202,8 @@ def neighborhood_reduce(
         reduce_csr_by_src,
     )
 
+    from mini_tpu.utils.profiling import scope
+
     if direction == "pull":
         ev = edges_by_dst(g)
         reducer = reduce_csc_by_dst
@@ -203,16 +214,21 @@ def neighborhood_reduce(
         member_fn = src_vals_to_csr
     else:
         raise ValueError(f"unknown direction {direction!r}")
-    vals = value_fn(ev)
-    sel = ev.mask
-    if frontier is not None:
-        sel = sel & (member_fn(g, frontier.mask.astype(jnp.int32)) > 0)
-    masked = jnp.where(sel, vals, identity_for(op, vals.dtype))
-    out = reducer(g, masked, op)
-    if identity is not None:
-        ident = identity_for(op, vals.dtype)
-        out = jnp.where(out == ident, jnp.asarray(identity, vals.dtype), out)
-    return out
+    with scope(f"neighborhood_reduce.{direction}"):
+        vals = value_fn(ev)
+        sel = ev.mask
+        if frontier is not None:
+            sel = sel & (
+                member_fn(g, frontier.mask.astype(jnp.int32)) > 0
+            )
+        masked = jnp.where(sel, vals, identity_for(op, vals.dtype))
+        out = reducer(g, masked, op)
+        if identity is not None:
+            ident = identity_for(op, vals.dtype)
+            out = jnp.where(
+                out == ident, jnp.asarray(identity, vals.dtype), out
+            )
+        return out
 
 
 def compute(

@@ -137,6 +137,7 @@ def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret,
     * ``highest``: f32 gather + 6-pass MXU f32 emulation (~22 ms).
     """
     from mini_tpu.ops.pallas.spmm_banded import banded_segment_sum
+    from mini_tpu.utils.profiling import scope
 
     dev = layout.dev()
 
@@ -153,21 +154,23 @@ def _apply_banded(x, layout: BandedLayout, w_list, precision, interpret,
         msgs = []
         for k in range(layout.K):
             lo, hi = band_slice(k)
-            xg = x[lo:hi][dev["ids"][k]]
-            w = w_list[k]
-            if heads > 1:
-                mk = xg.shape[0]
-                xg = (
-                    xg.reshape(mk, heads, F // heads)
-                    * w[:, :, None].astype(x.dtype)
-                ).reshape(mk, F)
-            else:
-                xg = xg * w[:, None].astype(x.dtype)
+            with scope(f"spmm.band_gather_{k}"):
+                xg = x[lo:hi][dev["ids"][k]]
+                w = w_list[k]
+                if heads > 1:
+                    mk = xg.shape[0]
+                    xg = (
+                        xg.reshape(mk, heads, F // heads)
+                        * w[:, :, None].astype(x.dtype)
+                    ).reshape(mk, F)
+                else:
+                    xg = xg * w[:, None].astype(x.dtype)
             msgs.append(xg)
-        return banded_segment_sum(
-            dev["bounds"], dev["offs2d"], msgs, precision=precision,
-            interpret=interpret, edge_chunk=layout.edge_chunk,
-        )
+        with scope("spmm.banded_kernel"):
+            return banded_segment_sum(
+                dev["bounds"], dev["offs2d"], msgs, precision=precision,
+                interpret=interpret, edge_chunk=layout.edge_chunk,
+            )
 
     # NOTE a split-BEFORE-gather variant (hi/lo bf16 halves, 2K streams)
     # was built and measured 2026-08-19: in isolation its parts win

@@ -18,3 +18,8 @@ from mini_tpu.parallel.halo import (  # noqa: F401
     halo_spmm,
     make_halo_spmm,
 )
+from mini_tpu.parallel.distributed import dist_lspar  # noqa: F401
+from mini_tpu.parallel.models import (  # noqa: F401
+    dist_gat_forward,
+    dist_sage_forward,
+)

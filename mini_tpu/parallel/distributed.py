@@ -646,3 +646,87 @@ def dist_kcore(
     send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
     h, it = jax.jit(run)(shards, h0, send_idx, src_slot)
     return h.reshape(-1), it
+
+
+def dist_lspar(
+    pg: PartitionedGraph,
+    shards: DeviceShards,
+    mesh: Mesh,
+    axis: str = "graph",
+    prime: int = 999983,
+    e: float = 0.5,
+    seed: int = 0,
+    plan=None,
+):
+    """Distributed L-Spar sparsification (undirected graphs).
+
+    On an undirected (doubled) graph the dst-partitioned CSC segment of a
+    vertex IS its adjacency list in the same neighbor-sorted order as the
+    single-chip CSR form, so every stage is shard-local except ONE
+    exchange: the minwise-hash vector (boundary slabs with ``plan``).
+    Per shard: (1) minwise[v] = masked min over the segment of
+    hash(src) — the universal hashes derive from STATIC global ids
+    (`/root/reference/gunrock/src/lspar/lspar_problem.hxx:95-99`) so no
+    values move; (2) exchange minwise; (3) binary sims + the prefix-count
+    ranks of the single-chip re-design (`algorithms/lspar.py`), all
+    within local segments.  Returns ([D, m_loc] selected mask over the
+    partitioned CSC edges, total count) — edge (u -> v) selected here iff
+    the single-chip run selects CSR edge (v -> u) (same adjacency, same
+    stable rank).
+    """
+    from mini_tpu.algorithms.lspar import is_prime
+
+    if not is_prime(prime):
+        raise ValueError(f"{prime} is not prime")
+    n_loc = pg.n_loc
+    m_loc = pg.m_loc
+    use_plan = plan is not None
+    INT_MAX = jnp.iinfo(jnp.int32).max
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, prime)
+    b = rng.randint(0, prime)
+    idx = np.arange(pg.n_pad, dtype=np.int64)
+    hashs = jnp.asarray(((b + a * idx) % prime).astype(np.int32))
+    # thresholds in f64 on host exactly like the single-chip entry point
+    thr = jnp.asarray(
+        np.floor(
+            np.power(pg.out_degrees.astype(np.float64), e)
+        ).astype(np.int32)
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    def run(g, hashs_full, thr_loc, send_idx, src_slot):
+        esrc = g.csc_srcs[0]
+        edst = g.csc_dsts_local[0]
+        emask = g.edge_mask[0]
+        off = g.col_offsets[0].astype(jnp.int32)
+        read = _make_edge_reader(use_plan, axis, esrc, send_idx, src_slot)
+
+        h_e = jnp.where(emask, hashs_full[esrc], INT_MAX)
+        minwise = segment_reduce(h_e, edst, n_loc, "min")
+        mw_src_e = read(minwise)
+        sims = (emask & (mw_src_e == minwise[edst])).astype(jnp.int32)
+
+        # stable (sim desc) rank via prefix counts within local segments
+        c1 = jnp.cumsum(sims)
+        c1_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), c1])
+        start_c1 = c1_ext[off[:-1]]
+        n1 = c1_ext[off[1:]] - start_c1
+        p1 = (c1 - sims) - start_c1[edst]
+        local = jnp.arange(m_loc, dtype=jnp.int32) - off[:-1][edst]
+        rank = jnp.where(sims == 1, p1, n1[edst] + (local - p1))
+        sel = (rank < thr_loc[0][edst]) & emask
+        cnt = jax.lax.psum(jnp.sum(sel.astype(jnp.int32)), axis)
+        return sel[None], sims[None], cnt
+
+    send_idx, src_slot = _plan_args(pg, plan, mesh, P(axis))
+    thr_sh = jax.device_put(thr, NamedSharding(mesh, P(axis)))
+    sel, sims, cnt = jax.jit(run)(shards, hashs, thr_sh, send_idx,
+                                  src_slot)
+    return sel, sims, cnt

@@ -273,7 +273,12 @@ def make_halo_spmm(
     )
     def run(send_idx, src_slot, x_loc, csc_w, edst, emask):
         xs = x_loc[0]  # [n_loc, F]
-        # rows this shard sends to every other shard: [D, H, F]
+        # rows this shard sends to every other shard: [D, H, F].  The
+        # [s, s] diagonal slab (zero rows, send_mask False) stays in the
+        # buffer: all_to_all's self-block is lowered to a LOCAL copy by
+        # XLA, never wire traffic, and keeping it makes the t-major slot
+        # arithmetic (slot = t*H + rank) uniform.  Wire accounting
+        # elsewhere (bench_scaling) correctly counts (D-1)*H rows/dev.
         out_rows = xs[send_idx[0].reshape(-1)].reshape(D, H, -1)
         halo = exchange_slabs(out_rows, axis)  # [D, H, F] sender-major
         buf = jnp.concatenate(

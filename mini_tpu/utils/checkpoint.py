@@ -26,7 +26,18 @@ def save_pytree(path: str, tree) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     meta = json.dumps(
-        {"treedef": _treedef_str(treedef), "num_leaves": len(leaves)}
+        {
+            "treedef": _treedef_str(treedef),
+            "num_leaves": len(leaves),
+            # str(treedef) is not stable API across jax versions (ADVICE
+            # r3): record the version it was rendered by, plus a
+            # version-independent per-leaf signature that is always
+            # checked
+            "jax_version": jax.__version__,
+            "leaf_sig": [
+                [list(a.shape), str(a.dtype)] for a in arrays.values()
+            ],
+        }
     )
     np.savez(
         path,
@@ -50,13 +61,15 @@ def load_pytree(path: str, like):
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves_like)
 
-    stored_def, stored_n = None, None
+    stored_def, stored_n, stored_ver, stored_sig = None, None, None, None
     if "__treedef__" in data:
         meta_raw = data["__treedef__"].tobytes().decode()
         try:
             meta = json.loads(meta_raw)
             stored_def = meta.get("treedef")
             stored_n = meta.get("num_leaves")
+            stored_ver = meta.get("jax_version")
+            stored_sig = meta.get("leaf_sig")
         except json.JSONDecodeError:
             # round-1 format stored json.dumps(str(treedef)) directly
             stored_def = json.loads(meta_raw)
@@ -66,7 +79,26 @@ def load_pytree(path: str, like):
             f"checkpoint {path!r} holds {stored_n} leaves but the target "
             f"structure has {n}"
         )
-    if stored_def is not None and stored_def != _treedef_str(treedef):
+    if stored_sig is not None:
+        # version-independent check: per-leaf shape/dtype vs the target
+        got_sig = [
+            [list(np.shape(l)), str(np.asarray(l).dtype)]
+            for l in leaves_like
+        ]
+        if stored_sig != got_sig:
+            raise ValueError(
+                f"checkpoint {path!r} leaf signature mismatch:\n"
+                f"  stored: {stored_sig}\n  target: {got_sig}"
+            )
+    # str(treedef) is only comparable when rendered by the same jax
+    # version (its format is not stable API); cross-version loads rely
+    # on the leaf count + signature checks above
+    same_ver = stored_ver is None or stored_ver == jax.__version__
+    if (
+        stored_def is not None
+        and same_ver
+        and stored_def != _treedef_str(treedef)
+    ):
         raise ValueError(
             f"checkpoint {path!r} tree structure mismatch:\n"
             f"  stored: {stored_def}\n  target: {_treedef_str(treedef)}"

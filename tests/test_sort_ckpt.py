@@ -73,9 +73,17 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
     state = {"a": jnp.arange(4), "b": jnp.ones(3)}
     path = str(tmp_path / "ckpt.npz")
     save_pytree(path, state)
-    # different key set (same leaf count) -> treedef mismatch must raise
-    with pytest.raises(ValueError, match="structure mismatch"):
+    # different key set (same leaf count) -> mismatch must raise (either
+    # the version-stable leaf-signature check — jnp.arange is int32,
+    # jnp.zeros f32 — or the same-jax-version treedef check)
+    with pytest.raises(ValueError, match="mismatch"):
         load_pytree(path, {"a": jnp.zeros(4), "c": jnp.zeros(3)})
+    # same leaf shapes/dtypes, different keys -> treedef check catches it
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_pytree(
+            path,
+            {"a": jnp.zeros(4, jnp.int32), "c": jnp.zeros(3)},
+        )
     # different leaf count -> must raise, not load garbage
     with pytest.raises(ValueError, match="leaves"):
         load_pytree(path, {"a": jnp.zeros(4)})
