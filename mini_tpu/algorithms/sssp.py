@@ -54,37 +54,84 @@ class SsspResult:
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
     n_pad = g.n_pad
+    m_pad = g.m_pad
     inf = jnp.float32(jnp.inf)
     INT_MAX = jnp.iinfo(jnp.int32).max
 
     dist0 = jnp.full(n_pad, inf, jnp.float32).at[src].set(0.0)
     frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
+    # CSC-ordered cache of dist[src(e)] per edge (round-4 rewrite of the
+    # dense relax — see dense_step); all-inf start = "no vertex improved
+    # yet", so no setup sort is needed
+    dist_csc0 = jnp.full(m_pad, inf, jnp.float32)
+
+    # incremental-sync capacity: a bounded scatter of K out-edges costs
+    # ~16 ns/edge (gather rank + scatter) vs the full payload sort's
+    # ~2.5 ns/edge over ALL m — profitable while K < ~m/6
+    cape_u = min(m_pad, max(4096, m_pad // 8))
+
+    def sync_cache(dist, vset, dist_csc):
+        """Write dist[v] into the CSC slots of v's out-edges for every v
+        in ``vset`` (bounded by cape_u; caller checks the fit)."""
+        idx, cnt, v_ovf = compact_frontier(vset, n_pad)
+        esrc, _, eid, valid, total = expand_frontier(g, idx, cnt, cape_u)
+        pos = jnp.where(valid, g.csr_to_csc_rank[eid], m_pad)
+        vals = jnp.where(valid, dist[esrc], 0.0)
+        ext = jnp.concatenate([dist_csc, jnp.zeros(1, jnp.float32)])
+        out = ext.at[pos].set(vals, mode="drop")[:m_pad]
+        return out, v_ovf | (total > cape_u)
 
     def dense_step(ops):
-        dist, frontier, it = ops
-        # the relax is the neighborhood-reduce operator over the full
-        # vertex set: masked distances expand bit-exactly, so non-frontier
-        # and ghost sources carry +inf and never win the min (replaces the
-        # reference's CAS-loop atomicMin, `sssp/sssp_functor.hxx:20-28`)
-        from mini_tpu.ops.operators import neighborhood_reduce
+        """Dense relax WITHOUT the per-round payload sort (round 4).
 
-        dist_masked = jnp.where(frontier, dist, inf)
-        best = neighborhood_reduce(
-            g, None,
-            lambda ev: src_vals_to_csc(g, dist_masked) + ev.weight,
-            op="min", direction="pull",
+        Round 3 re-expanded + re-sorted the full f32 distance vector
+        into CSC order every round (`src_vals_to_csc`) — the lax.sort is
+        the superlinear term that produced the 27.4 MTEPS dip at s19
+        (76 ms/round vs 27 at s18).  dist only changes at improved
+        vertices, so the CSC-ordered dist[src] array is CACHED across
+        rounds and synced by a bounded scatter over the out-edges of the
+        not-yet-synced improved set; the full sort remains only as the
+        fallback for rounds whose dirty set is genuinely huge.  The
+        relax itself is the same masked segmented f32 min — candidates
+        from stale-but-synced sources were already absorbed by earlier
+        rounds' minima, so results stay BITWISE equal to the round-3
+        sweep (min is exact and order-independent).  Replaces the
+        reference's CAS-loop atomicMin (`sssp/sssp_functor.hxx:20-28`).
+        """
+        dist, frontier, it, dist_csc, unsynced = ops
+        need = unsynced | frontier
+        fe = frontier_edge_count(g, need)
+        fl = jnp.sum(need, dtype=jnp.int32)
+
+        def inc(dc):
+            return sync_cache(dist, need, dc)
+
+        def full(dc):
+            # unmasked full rebuild: never-improved vertices carry +inf
+            return src_vals_to_csc(g, dist), jnp.bool_(False)
+
+        fits = (fe <= cape_u) & (fl <= n_pad)
+        dist_csc, s_ovf = jax.lax.cond(fits, inc, full, dist_csc)
+        cand = jnp.where(
+            g.edge_mask_csc, dist_csc + g.csc_weights, inf
         )
+        best = reduce_csc_by_dst(g, cand, "min")
         improved = best < dist
         dist = jnp.minimum(dist, best)
-        return dist, improved, jnp.bool_(False)
+        return (
+            dist, improved, s_ovf, dist_csc,
+            jnp.zeros(n_pad, jnp.bool_),
+        )
 
     tiers = default_tiers(g, capv, cape) if cape > 1 else []
 
     def make_sparse_step(tier_capv, tier_cape):
         def sparse_step(ops):
             """Bounded compact-frontier relax: same f32 min over the same
-            candidate set -> bitwise-identical to the dense sweep."""
-            dist, frontier, it = ops
+            candidate set -> bitwise-identical to the dense sweep.  The
+            dense cache is NOT touched — the round's improved set joins
+            ``unsynced`` and is folded in by the next dense round."""
+            dist, frontier, it, dist_csc, unsynced = ops
             idx, cnt, v_ovf = compact_frontier(frontier, tier_capv)
             esrc, edst, eid, valid, total = expand_frontier(
                 g, idx, cnt, tier_cape
@@ -96,14 +143,17 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
                 jnp.where(valid, cand, inf), mode="drop"
             )[:n_pad]
             improved = dist2 < dist
-            return dist2, improved, v_ovf | (total > tier_cape)
+            return (
+                dist2, improved, v_ovf | (total > tier_cape), dist_csc,
+                unsynced | frontier,
+            )
 
         return sparse_step
 
     branches = [make_sparse_step(cv, ce) for cv, ce in tiers] + [dense_step]
 
     def step(state):
-        dist, frontier, it, sparses, ovf = state
+        dist, frontier, it, sparses, ovf, dist_csc, unsynced = state
         fe = frontier_edge_count(g, frontier)
         fl = jnp.sum(frontier, dtype=jnp.int32)
         tier_idx = jnp.int32(len(tiers))
@@ -112,22 +162,24 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
             tier_idx = jnp.where(
                 (fe <= ce) & (fl <= cv), jnp.int32(i), tier_idx
             )
-        dist, improved, step_ovf = jax.lax.switch(
-            tier_idx, branches, (dist, frontier, it)
+        dist, improved, step_ovf, dist_csc, unsynced = jax.lax.switch(
+            tier_idx, branches, (dist, frontier, it, dist_csc, unsynced)
         )
         is_sparse = tier_idx < len(tiers)
         return (
             dist, improved, it + 1,
             sparses + is_sparse.astype(jnp.int32), ovf | step_ovf,
+            dist_csc, unsynced,
         )
 
     def cond(state):
-        _, frontier, it, _, _ = state
+        _, frontier, it, _, _, _, _ = state
         return jnp.any(frontier) & (it < max_iter)
 
-    dist, _, it, sparses, ovf = jax.lax.while_loop(
+    dist, _, it, sparses, ovf, _, _ = jax.lax.while_loop(
         cond, step,
-        (dist0, frontier0, jnp.int32(0), jnp.int32(0), jnp.bool_(False)),
+        (dist0, frontier0, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+         dist_csc0, jnp.zeros(n_pad, jnp.bool_)),
     )
 
     # predecessors in one post-pass: pred[v] = min{u : dist[u]+w == dist[v]}
