@@ -64,17 +64,63 @@ inline const char* parse_f32(const char* p, const char* end, float* out,
   return q ? q : p;
 }
 
+// Stable LSD radix sort of (key, value) pairs, 16-bit digits, only as
+// many passes as the highest set key bit needs.  Stability gives the
+// same tie order as np.lexsort / std::stable_sort; packed u64 keys make
+// each pass a sequential scan (the old comparator-based stable_sort did
+// two random array reads per comparison — 3-4x slower at graph sizes).
+void radix_sort_pairs(std::vector<uint64_t>& keys,
+                      std::vector<int64_t>& vals) {
+  const size_t m = keys.size();
+  uint64_t mx = 0;
+  for (uint64_t k : keys) mx |= k;
+  int passes = 0;
+  while (passes < 4 && (mx >> (16 * passes)) != 0) ++passes;
+  // (shifting a u64 by >= 64 is UB — the passes < 4 bound keeps every
+  // shift in range; 4 passes always suffice for a 64-bit key)
+  std::vector<uint64_t> kbuf(m);
+  std::vector<int64_t> vbuf(m);
+  std::vector<int64_t> cnt(1 << 16);
+  for (int p = 0; p < passes; ++p) {
+    const int sh = 16 * p;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (uint64_t k : keys) cnt[(k >> sh) & 0xFFFF]++;
+    int64_t sum = 0;
+    for (int i = 0; i < (1 << 16); ++i) {
+      const int64_t c = cnt[i];
+      cnt[i] = sum;
+      sum += c;
+    }
+    for (size_t i = 0; i < m; ++i) {
+      const int64_t pos = cnt[(keys[i] >> sh) & 0xFFFF]++;
+      kbuf[pos] = keys[i];
+      vbuf[pos] = vals[i];
+    }
+    keys.swap(kbuf);
+    vals.swap(vbuf);
+  }
+}
+
+void sort_edges(const std::vector<int32_t>& major,
+                const std::vector<int32_t>& minor,
+                std::vector<int64_t>& order) {
+  const int64_t m = static_cast<int64_t>(major.size());
+  std::vector<uint64_t> keys(m);
+  for (int64_t i = 0; i < m; ++i)
+    keys[i] = (static_cast<uint64_t>(static_cast<uint32_t>(major[i])) << 32) |
+              static_cast<uint32_t>(minor[i]);
+  order.resize(m);
+  std::iota(order.begin(), order.end(), 0);
+  radix_sort_pairs(keys, order);
+}
+
 void build(Graph& g, std::vector<int32_t>& srcs, std::vector<int32_t>& dsts,
            std::vector<float>& weights) {
   const int64_t m = static_cast<int64_t>(srcs.size());
   g.m = m;
   // CSR: stable sort by (src, dst) — matches np.lexsort((dsts, srcs)).
-  std::vector<int64_t> order(m);
-  std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    if (srcs[a] != srcs[b]) return srcs[a] < srcs[b];
-    return dsts[a] < dsts[b];
-  });
+  std::vector<int64_t> order;
+  sort_edges(srcs, dsts, order);
   g.csr_srcs.resize(m);
   g.csr_dsts.resize(m);
   g.csr_weights.resize(m);
@@ -92,11 +138,7 @@ void build(Graph& g, std::vector<int32_t>& srcs, std::vector<int32_t>& dsts,
 
   // CSC: stable sort of the ORIGINAL edge indices by (dst, src) — matches
   // np.lexsort((srcs, dsts)) including tie order.
-  std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    if (dsts[a] != dsts[b]) return dsts[a] < dsts[b];
-    return srcs[a] < srcs[b];
-  });
+  sort_edges(dsts, srcs, order);
   g.csc_srcs.resize(m);
   g.csc_dsts.resize(m);
   g.csc_weights.resize(m);
