@@ -302,13 +302,11 @@ def main():
             lab = np.asarray(bfs(gs, int(s_i)).labels)[: hg.n]
             edges_r += float(hg.out_degrees[lab >= 0].sum())
         srcs_d = jnp.asarray(srcs_np)
-        batch = jax.jit(
-            lambda sd: jax.lax.fori_loop(
-                0, R,
-                lambda i, acc: acc + jnp.max(bfs(gs, sd[i]).labels),
-                jnp.int32(0),
-            )
-        )
+        # the library batch API (one jitted scan over sources) — the
+        # production form of the round-3 bench-local fori trick
+        from mini_tpu.algorithms import bfs_batch
+
+        batch = lambda sd: bfs_batch(gs, sd)  # noqa: E731
         _, compile_s["bfs_batch"] = first_call(lambda: batch(srcs_d))
         t = time_fn(lambda: batch(srcs_d), warmup=1, repeat=3)
         results["bfs_batch"] = {

@@ -141,8 +141,12 @@ def main():
                 f"| {name} | {ms:.2f} | {max(0.0, ms - floor):.2f} |\n"
             )
         f.write(
-            "\nReading: the SpMM kernel cost is (full - gathers only); "
-            "the BFS or-reduce cost is (row 4 - row 3).\n"
+            "\nReading: dispatch latency OVERLAPS device compute on the "
+            "tunnel, so wall ~= max(floor, compute) + fetch — rows at "
+            "the floor only UPPER-BOUND their phase (~<30 ms; e.g. a "
+            "full dense BFS iteration), while compute-dominated rows "
+            "(the SpMM ones) are direct reads: kernel cost = full - "
+            "gathers-only.\n"
         )
     print("wrote TRACE_SUMMARY.md", flush=True)
 
