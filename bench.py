@@ -309,10 +309,18 @@ def main():
         batch = lambda sd: bfs_batch(gs, sd)  # noqa: E731
         _, compile_s["bfs_batch"] = first_call(lambda: batch(srcs_d))
         t = time_fn(lambda: batch(srcs_d), warmup=1, repeat=3)
+        # labels-only form (with_preds=False) matches the round-3 record
+        # (the old fori trick DCE'd the pred post-pass); the full-result
+        # row is the honest API cost
+        lo = lambda sd: bfs_batch(gs, sd, with_preds=False)  # noqa: E731
+        _, compile_s["bfs_batch_lab"] = first_call(lambda: lo(srcs_d))
+        tl = time_fn(lambda: lo(srcs_d), warmup=1, repeat=3)
         results["bfs_batch"] = {
             "sources": R,
             "per_bfs_ms": t.min_s / R * 1e3,
             "mteps_amortized": edges_r / t.min_s / 1e6,
+            "per_bfs_ms_labels_only": tl.min_s / R * 1e3,
+            "mteps_amortized_labels_only": edges_r / tl.min_s / 1e6,
         }
     except Exception as exc:
         results["bfs_batch"] = {"error": repr(exc)[:300]}

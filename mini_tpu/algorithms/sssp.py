@@ -51,8 +51,11 @@ class SsspResult:
     # reference's exit-on-overflow, `frontier.hxx:85-93`)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _sssp_impl(
+    g: GraphSlice, src, max_iter: int, capv: int, cape: int,
+    sync_cape: int = 0,
+):
     n_pad = g.n_pad
     m_pad = g.m_pad
     inf = jnp.float32(jnp.inf)
@@ -66,9 +69,11 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
     dist_csc0 = jnp.full(m_pad, inf, jnp.float32)
 
     # incremental-sync capacity: a bounded scatter of K out-edges costs
-    # ~16 ns/edge (gather rank + scatter) vs the full payload sort's
-    # ~2.5 ns/edge over ALL m — profitable while K < ~m/6
-    cape_u = min(m_pad, max(4096, m_pad // 8))
+    # ~16 ns/edge (gather rank + scatter) plus fixed compaction overhead
+    # vs the full payload sort's ~2.5 ns/edge over ALL m — measured
+    # crossover sweep in scratch/bench_sssp_r4.py; 0 disables the
+    # incremental path entirely (pure round-3 behavior)
+    cape_u = sync_cape
 
     def sync_cache(dist, vset, dist_csc):
         """Write dist[v] into the CSC slots of v's out-edges for every v
@@ -110,8 +115,11 @@ def _sssp_impl(g: GraphSlice, src, max_iter: int, capv: int, cape: int):
             # unmasked full rebuild: never-improved vertices carry +inf
             return src_vals_to_csc(g, dist), jnp.bool_(False)
 
-        fits = (fe <= cape_u) & (fl <= n_pad)
-        dist_csc, s_ovf = jax.lax.cond(fits, inc, full, dist_csc)
+        if cape_u > 0:
+            fits = (fe <= cape_u) & (fl <= n_pad)
+            dist_csc, s_ovf = jax.lax.cond(fits, inc, full, dist_csc)
+        else:
+            dist_csc, s_ovf = full(dist_csc)
         cand = jnp.where(
             g.edge_mask_csc, dist_csc + g.csc_weights, inf
         )
@@ -207,6 +215,7 @@ def sssp(
     max_iter: int | None = None,
     sparse_capv: int | None = None,
     sparse_cape: int | None = None,
+    sync_cape: int | None = None,
 ) -> SsspResult:
     if max_iter is None:
         max_iter = g.n_pad  # Bellman-Ford converges in <= n-1 rounds
@@ -216,16 +225,32 @@ def sssp(
         sparse_capv = min(g.n_pad, max(2048, g.m_pad // 64))
     if sparse_cape is None:
         sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
+    if sync_cape is None:
+        # Incremental dense-cache sync capacity; 0 (default) = full
+        # rebuild every dense round.  Measured sweep on weighted RMAT
+        # (scratch/bench_sssp_sweep.py, v5e 2026-08-21, ms / MTEPS):
+        #
+        #   s16: off 74.1/28.3  m/8 93.0  m/32 79.7  m/64 81.2
+        #   s19: off 640.6/26.2 m/8 866.7 m/32 608.0/27.6 m/64 636.0
+        #
+        # i.e. the s19 "dip" is ROUND STRUCTURE, not the payload sort:
+        # weighted Bellman-Ford rounds carry improvement sets beyond the
+        # bounded-sync crossover (~m/6 at 16 ns/edge scatter+gather vs
+        # the sort's 2.5 ns/edge), so incremental sync pays at most +5%
+        # at s19 and loses at s16.  Kept opt-in for low-improvement-rate
+        # workloads (near-BFS weight distributions, incremental
+        # re-solves); pass e.g. m_pad//32 to enable.
+        sync_cape = 0
     return _sssp_impl(
         g, jnp.asarray(src), int(max_iter), int(sparse_capv),
-        int(sparse_cape),
+        int(sparse_cape), int(sync_cape),
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _sssp_batch_impl(g, srcs, max_iter, capv, cape):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _sssp_batch_impl(g, srcs, max_iter, capv, cape, sync_cape):
     def body(_, s):
-        return None, _sssp_impl(g, s, max_iter, capv, cape)
+        return None, _sssp_impl(g, s, max_iter, capv, cape, sync_cape)
 
     _, res = jax.lax.scan(body, None, srcs)
     return res
@@ -237,6 +262,7 @@ def sssp_batch(
     max_iter: int | None = None,
     sparse_capv: int | None = None,
     sparse_cape: int | None = None,
+    sync_cape: int | None = None,
 ) -> SsspResult:
     """Multi-source SSSP in one jitted ``lax.scan`` over sources — the
     dispatch-amortized batch form (see :func:`mini_tpu.algorithms.bfs.
@@ -248,9 +274,12 @@ def sssp_batch(
         sparse_capv = min(g.n_pad, max(2048, g.m_pad // 64))
     if sparse_cape is None:
         sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
+    if sync_cape is None:
+        sync_cape = 0  # see sssp(): full rebuild is the measured default
     srcs = jnp.atleast_1d(jnp.asarray(srcs, jnp.int32))
     return _sssp_batch_impl(
-        g, srcs, int(max_iter), int(sparse_capv), int(sparse_cape)
+        g, srcs, int(max_iter), int(sparse_capv), int(sparse_cape),
+        int(sync_cape),
     )
 
 
