@@ -54,8 +54,9 @@ def _gat_layer_banded(
 
     Returns the per-head normalized outputs, or None when the layout /
     padding preconditions do not hold (caller falls back to the fused
-    engine path).  NOT differentiable (raw Pallas kernel call) — training
-    uses ``attn="fused"``.
+    engine path).  The raw Pallas call is not differentiable — training
+    flows through the custom VJP wrapper (:func:`_make_banded_layer_fn`)
+    whose backward recomputes via :func:`_gat_fused_heads`.
     """
     import math
 
@@ -162,6 +163,167 @@ def segment_softmax_by_dst(g: GraphSlice, scores: jnp.ndarray) -> jnp.ndarray:
     return e / denom_e
 
 
+def _gat_fused_heads(
+    g: GraphSlice,
+    hws,
+    s_src_l,
+    s_dst_l,
+    d: int,
+    negative_slope: float,
+    message_dtype,
+):
+    """The fused engine-ops attention layer (differentiable): unnormalized
+    weights from the global-max-stabilized scores, denominator via a
+    ones-column in the lane padding (or a per-head segment sum), divide
+    per vertex.  Returns the tuple of normalized heads.  Also serves as
+    the BACKWARD recompute of the banded layer's custom VJP — both
+    implementations compute the same function of (hws, s_src, s_dst)."""
+    import math
+
+    n_heads = len(hws)
+    mask = g.edge_mask_csc
+    e_src = src_vals_to_csc(g, *s_src_l)
+    if n_heads == 1:
+        e_src = (e_src,)
+    ws = []
+    for hd in range(n_heads):
+        ed = dst_vals_to_csc(g, s_dst_l[hd])
+        e = jax.nn.leaky_relu(e_src[hd] + ed, negative_slope)
+        bound = jax.nn.leaky_relu(
+            jnp.max(s_src_l[hd]) + ed, negative_slope
+        )
+        ws.append(jnp.where(mask, jnp.exp(e - bound), 0.0))
+    alpha = jnp.stack(ws, axis=-1)  # unnormalized, in (0, 1]
+
+    if n_heads == 1:
+        f = hws[0].shape[-1]
+        fp = -(-f // 128) * 128
+        ones_col = fp > f  # denom rides the lane padding
+        hw_p = jnp.pad(hws[0], ((0, 0), (0, fp - f)))
+        if ones_col:
+            hw_p = hw_p.at[:, f].set(1.0)
+        if message_dtype is not None:
+            hw_p = hw_p.astype(message_dtype)
+        out = spmm(
+            g, hw_p, direction="pull", weights=alpha[:, 0]
+        ).astype(jnp.float32)
+        denom = (
+            out[:, f]
+            if ones_col
+            else reduce_csc_by_dst(g, alpha[:, 0], "sum")
+        )
+        denom = jnp.maximum(denom, 1e-30)
+        return (out[:, :f] / denom[:, None],)
+
+    # batch ALL heads into one blockwise SpMM: each head's dim is padded
+    # so the concat is lane-aligned, one gather + one MXU kernel pass
+    # covers every head
+    step = 128 // math.gcd(n_heads, 128)
+    d_pad = -(-d // step) * step
+    ones_col = d_pad > d
+    if d_pad != d:
+        hws_p = [jnp.pad(hw, ((0, 0), (0, d_pad - d))) for hw in hws]
+    else:
+        hws_p = hws
+    hw_cat = jnp.concatenate(hws_p, axis=-1)
+    if ones_col:
+        ones_cols = jnp.arange(n_heads) * d_pad + d
+        hw_cat = hw_cat.at[:, ones_cols].set(1.0)
+    if message_dtype is not None:
+        hw_cat = hw_cat.astype(message_dtype)
+    out = spmm(
+        g, hw_cat, direction="pull", weights=alpha, heads=n_heads
+    ).astype(jnp.float32)
+    heads = []
+    for hd in range(n_heads):
+        blk = out[:, hd * d_pad: hd * d_pad + d]
+        denom = (
+            out[:, hd * d_pad + d]
+            if ones_col
+            else reduce_csc_by_dst(g, alpha[:, hd], "sum")
+        )
+        denom = jnp.maximum(denom, 1e-30)
+        heads.append(blk / denom[:, None])
+    return tuple(heads)
+
+
+_BANDED_VJP_CACHE: dict = {}
+
+
+def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
+    """custom_vjp wrapper making the banded-native attention layer
+    trainable: the forward is the Pallas-kernel banded pipeline, the
+    backward RE-DERIVES cotangents through `_gat_fused_heads` — the two
+    compute the same function of (hws, s_src, s_dst) (the gradient w.r.t.
+    a_src flows entirely through s_src = hw @ a_src, so its direct slot
+    gets a zero cotangent), matching to the pipelines' mutual fp
+    tolerance (~1e-5 f32 / ~1e-3 bf16).  Cached per (graph, config) so
+    jit retraces reuse one custom_vjp instance."""
+    key = (
+        getattr(g, "fingerprint", id(g)), d, float(negative_slope),
+        str(message_dtype), bool(force),
+    )
+    if key in _BANDED_VJP_CACHE:
+        return _BANDED_VJP_CACHE[key]
+
+    @jax.custom_vjp
+    def f(hws, a_src_l, s_src_l, s_dst_l):
+        heads = _gat_layer_banded(
+            g, list(hws), list(a_src_l), list(s_src_l), list(s_dst_l),
+            d, negative_slope, message_dtype, force=force,
+        )
+        assert heads is not None  # caller checked _banded_layer_supported
+        return tuple(heads)
+
+    def fwd(hws, a_src_l, s_src_l, s_dst_l):
+        return f(hws, a_src_l, s_src_l, s_dst_l), (
+            hws, a_src_l, s_src_l, s_dst_l,
+        )
+
+    def bwd(res, ct):
+        hws, a_src_l, s_src_l, s_dst_l = res
+
+        def fused(hws_, s_src_, s_dst_):
+            return _gat_fused_heads(
+                g, list(hws_), list(s_src_), list(s_dst_), d,
+                negative_slope, message_dtype,
+            )
+
+        _, vjp = jax.vjp(fused, hws, s_src_l, s_dst_l)
+        g_hws, g_ss, g_sd = vjp(tuple(ct))
+        zeros_a = tuple(jnp.zeros_like(a) for a in a_src_l)
+        return g_hws, zeros_a, g_ss, g_sd
+
+    f.defvjp(fwd, bwd)
+    _BANDED_VJP_CACHE[key] = f
+    return f
+
+
+def _banded_layer_supported(g, n_heads: int, d: int, force: bool) -> bool:
+    """Static preconditions of `_gat_layer_banded` (mirrors its early
+    returns) so the custom_vjp wrapper is only entered when the banded
+    path will actually run."""
+    import math
+
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu" and not force:
+        return False
+    from mini_tpu.graph.banded import get_layout
+
+    step = 128 // math.gcd(n_heads, 128)
+    d_pad = -(-d // step) * step
+    if d_pad <= d:
+        return False
+    F = n_heads * d_pad
+    if F % 128 != 0:
+        return False
+    layout = get_layout(g, "pull", row_bytes=F * 4)
+    if layout is None or not layout.offsets:
+        return False
+    return True
+
+
 def gat_init(
     key: jax.Array,
     dims: Sequence[int],
@@ -210,8 +372,10 @@ def gat_forward(
       banded-native layer (:func:`_gat_layer_banded`) — scores, weights,
       and messages all born in banded order from one set of band
       gathers; no per-edge pass outside the gather+kernel pipeline.
-      Forward-only; ``"auto"`` falls back to ``"fused"`` off-TPU, when
-      no banded layout exists, or when a head dim has no spare lane.
+      TRAINABLE: a custom VJP re-derives cotangents through the fused
+      engine path (same function — see :func:`_make_banded_layer_fn`).
+      ``"auto"`` falls back to ``"fused"`` off-TPU, when no banded
+      layout exists, or when a head dim has no spare lane.
     * ``"fused"``: engine-ops path without a per-segment softmax.
       LeakyReLU is monotone, so the EXACT per-dst stabilizer
       ``max_u LRelu(s_src[u] + s_dst[v]) = LRelu(max_u s_src[u] + s_dst[v])``
@@ -250,37 +414,42 @@ def gat_forward(
         s_src_l = [hws[hd] @ layer["a_src"][hd] for hd in range(n_heads)]
         s_dst_l = [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)]
 
-        if attn in ("auto", "banded"):
-            heads = _gat_layer_banded(
-                g, hws, [layer["a_src"][hd] for hd in range(n_heads)],
-                s_src_l, s_dst_l, d, negative_slope, message_dtype,
+        if attn in ("auto", "banded") and _banded_layer_supported(
+            g, n_heads, d, force=attn == "banded"
+        ):
+            fn = _make_banded_layer_fn(
+                g, d, negative_slope, message_dtype,
                 force=attn == "banded",
             )
-            if heads is not None:
-                if i < n_layers - 1:
-                    h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
-                else:
-                    h = sum(heads) / len(heads)
-                continue
+            heads = fn(
+                tuple(hws),
+                tuple(layer["a_src"][hd] for hd in range(n_heads)),
+                tuple(s_src_l), tuple(s_dst_l),
+            )
+            if i < n_layers - 1:
+                h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
+            else:
+                h = sum(heads) / len(heads)
+            continue
 
-        # engine path: all heads' src scores ride ONE permutation sort
-        # (multi-payload)
+        if attn in ("fused", "auto", "banded"):
+            heads = _gat_fused_heads(
+                g, hws, s_src_l, s_dst_l, d, negative_slope,
+                message_dtype,
+            )
+            if i < n_layers - 1:
+                h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
+            else:
+                h = sum(heads) / len(heads)
+            continue
+
+        # round-3 softmax path: all heads' src scores ride ONE
+        # permutation sort (multi-payload)
         e_src = src_vals_to_csc(g, *s_src_l)
         if n_heads == 1:
             e_src = (e_src,)
 
-        if attn in ("fused", "auto", "banded"):
-            mask = g.edge_mask_csc
-            ws = []
-            for hd in range(n_heads):
-                ed = dst_vals_to_csc(g, s_dst_l[hd])
-                e = jax.nn.leaky_relu(e_src[hd] + ed, negative_slope)
-                bound = jax.nn.leaky_relu(
-                    jnp.max(s_src_l[hd]) + ed, negative_slope
-                )
-                ws.append(jnp.where(mask, jnp.exp(e - bound), 0.0))
-            alpha = jnp.stack(ws, axis=-1)  # unnormalized, in (0, 1]
-        elif attn == "softmax":
+        if attn == "softmax":
             if batch_softmax:
                 s_dst = jnp.stack(s_dst_l, axis=-1)
                 e = jnp.stack(e_src, axis=-1) + dst_vals_to_csc(g, s_dst)
@@ -296,29 +465,17 @@ def gat_forward(
         else:
             raise ValueError(f"unknown attn {attn!r}")
 
-        fused = attn != "softmax"
+        # softmax weights are pre-normalized: a plain weighted SpMM
         if n_heads == 1:
             f = hws[0].shape[-1]
             fp = -(-f // 128) * 128
-            ones_col = fp > f and fused  # denom rides the lane padding
             hw_p = jnp.pad(hws[0], ((0, 0), (0, fp - f)))
-            if ones_col:
-                hw_p = hw_p.at[:, f].set(1.0)
             if message_dtype is not None:
                 hw_p = hw_p.astype(message_dtype)
             out = spmm(
                 g, hw_p, direction="pull", weights=alpha[:, 0]
             ).astype(jnp.float32)
-            if fused:
-                denom = (
-                    out[:, f]
-                    if ones_col
-                    else reduce_csc_by_dst(g, alpha[:, 0], "sum")
-                )
-                denom = jnp.maximum(denom, 1e-30)
-                heads = [out[:, :f] / denom[:, None]]
-            else:
-                heads = [out[:, :f]]
+            heads = [out[:, :f]]
         else:
             # batch ALL heads into one blockwise SpMM: each head's dim is
             # padded so the concat is lane-aligned, one gather + one MXU
@@ -326,10 +483,6 @@ def gat_forward(
             # head, 75% MXU waste at d=32..64)
             step = 128 // math.gcd(n_heads, 128)
             d_pad = -(-d // step) * step
-            # fused denominators ride a ones-column when the head blocks
-            # have lane padding anyway; when d is already lane-aligned the
-            # SpMM is NOT widened — one segment-sum scan per head instead
-            ones_col = d_pad > d and fused
             if d_pad != d:
                 hws_p = [
                     jnp.pad(hw, ((0, 0), (0, d_pad - d))) for hw in hws
@@ -337,31 +490,16 @@ def gat_forward(
             else:
                 hws_p = hws
             hw_cat = jnp.concatenate(hws_p, axis=-1)
-            if ones_col:
-                ones_cols = jnp.arange(n_heads) * d_pad + d
-                hw_cat = hw_cat.at[:, ones_cols].set(1.0)
             if message_dtype is not None:
                 hw_cat = hw_cat.astype(message_dtype)
             out = spmm(
                 g, hw_cat, direction="pull", weights=alpha,
                 heads=n_heads,
             ).astype(jnp.float32)
-            if fused:
-                heads = []
-                for hd in range(n_heads):
-                    blk = out[:, hd * d_pad: hd * d_pad + d]
-                    denom = (
-                        out[:, hd * d_pad + d]
-                        if ones_col
-                        else reduce_csc_by_dst(g, alpha[:, hd], "sum")
-                    )
-                    denom = jnp.maximum(denom, 1e-30)
-                    heads.append(blk / denom[:, None])
-            else:
-                heads = [
-                    out[:, hd * d_pad: hd * d_pad + d]
-                    for hd in range(n_heads)
-                ]
+            heads = [
+                out[:, hd * d_pad: hd * d_pad + d]
+                for hd in range(n_heads)
+            ]
         if i < n_layers - 1:
             h = jax.nn.elu(jnp.concatenate(heads, axis=-1))
         else:

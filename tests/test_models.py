@@ -99,3 +99,23 @@ def test_gat_banded_attention_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(out)[: hg.n], expect, rtol=1e-3, atol=1e-4
     )
+
+
+def test_gat_banded_grads_match_fused():
+    # the banded layer's custom VJP re-derives cotangents through the
+    # fused engine path — gradients must match autodiff of the fused
+    # implementation to fp tolerance
+    hg, gs, x = _setup(seed=7)
+    params = gat_init(jax.random.PRNGKey(8), [8, 16, 3], heads=2)
+
+    def loss(p, attn):
+        out = gat_forward(p, gs, x, attn=attn)
+        return jnp.sum(out[: hg.n] ** 2)
+
+    gb = jax.grad(lambda p: loss(p, "banded"))(params)
+    gf = jax.grad(lambda p: loss(p, "fused"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gb),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
