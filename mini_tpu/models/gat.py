@@ -296,6 +296,8 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
 
     f.defvjp(fwd, bwd)
     _BANDED_VJP_CACHE[key] = f
+    while len(_BANDED_VJP_CACHE) > 32:  # LRU-ish bound (insertion order)
+        _BANDED_VJP_CACHE.pop(next(iter(_BANDED_VJP_CACHE)))
     return f
 
 
