@@ -148,6 +148,38 @@ def main():
             },
         }
 
+        # one distributed GCN TRAINING step (psum'd grads, halo
+        # exchange) at the same scale — the training path also clears
+        # the wall, not just the forward
+        if scale <= 19:
+            from mini_tpu.models.gcn import gcn_init
+            from mini_tpu.parallel.gcn import dist_gcn_train
+
+            labels = jax.device_put(
+                jnp.asarray(
+                    rng.randint(0, 16, (D, pg.n_loc)).astype(np.int32)
+                ),
+                NamedSharding(mesh, P("graph")),
+            )
+            mask_t = jax.device_put(
+                jnp.asarray(
+                    (np.arange(pg.n_pad) < hg.n).reshape(D, pg.n_loc)
+                ),
+                NamedSharding(mesh, P("graph")),
+            )
+            t0 = time.perf_counter()
+            _, losses = dist_gcn_train(
+                pg, shards, mesh,
+                gcn_init(jax.random.PRNGKey(1), [F, F, 16]),
+                x, labels, mask_t, steps=1, halo_plan=plan,
+                overlap=True,
+            )
+            row["gcn_train_step_F128"] = {
+                "completed": bool(np.isfinite(losses[0])),
+                "loss": float(losses[0]),
+                "first_step_cpu_wall_s": time.perf_counter() - t0,
+            }
+
         # correctness vs the single-device SpMM (narrow F keeps the
         # whole-graph reference within host RAM at these scales)
         if scale <= 19:
