@@ -335,6 +335,28 @@ def main():
     except Exception as exc:
         results["bfs_batch"] = {"error": repr(exc)[:300]}
 
+    try:
+        if "batch" in SKIP:
+            raise RuntimeError("skipped via MINI_TPU_BENCH_SKIP")
+        from mini_tpu.algorithms import sssp_batch
+
+        srcs_np = np.argsort(hg.out_degrees)[-R:].astype(np.int32)
+        edges_r = 0.0
+        for s_i in srcs_np:
+            dd = np.asarray(sssp(gs, int(s_i)).dists)[: hg.n]
+            edges_r += float(hg.out_degrees[np.isfinite(dd)].sum())
+        srcs_d = jnp.asarray(srcs_np)
+        sb = lambda sd: sssp_batch(gs, sd)  # noqa: E731
+        _, compile_s["sssp_batch"] = first_call(lambda: sb(srcs_d))
+        t = time_fn(lambda: sb(srcs_d), warmup=1, repeat=3)
+        results["sssp_batch"] = {
+            "sources": R,
+            "per_sssp_ms": t.min_s / R * 1e3,
+            "mteps_amortized": edges_r / t.min_s / 1e6,
+        }
+    except Exception as exc:
+        results["sssp_batch"] = {"error": repr(exc)[:300]}
+
     flush()
     if jax.default_backend() == "tpu":
         model_rows = [
