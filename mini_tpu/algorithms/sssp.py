@@ -189,7 +189,116 @@ def _sssp_impl(
         (dist0, frontier0, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
          dist_csc0, jnp.zeros(n_pad, jnp.bool_)),
     )
+    return _finish(g, dist, src, it, sparses, ovf)
 
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _sssp_delta_impl(
+    g: GraphSlice, src, max_iter: int, capv: int, cape: int, delta: float
+):
+    """Delta-stepping SSSP (opt-in ``sssp(variant="delta")``).
+
+    Classic bucketed processing (Meyer & Sanders) mapped onto the tiered
+    frontier machinery: the pending (improved-but-unrelaxed) set is
+    processed in distance buckets ``dist < B``, ``B`` advancing by
+    ``delta`` when the active bucket drains.  Bucketing keeps each
+    round's frontier SMALL, so rounds ride the bounded sparse tiers
+    (O(cape)) instead of the weighted Bellman-Ford's O(m) dense sweeps —
+    the round-structure cost BASELINE.md shows is binding at s19.  The
+    fixpoint is the same exact f32 shortest-distance solution, so
+    results stay bitwise-equal to the Dijkstra oracle."""
+    n_pad = g.n_pad
+    inf = jnp.float32(jnp.inf)
+    dlt = jnp.float32(delta)
+
+    dist0 = jnp.full(n_pad, inf, jnp.float32).at[src].set(0.0)
+    pending0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
+
+    tiers = default_tiers(g, capv, cape) if cape > 1 else []
+
+    def relax(dist, frontier):
+        """One relax of ``frontier`` through the tier machinery; returns
+        (dist2, improved, ovf, used_sparse)."""
+        fe = frontier_edge_count(g, frontier)
+        fl = jnp.sum(frontier, dtype=jnp.int32)
+
+        def dense(ops):
+            d_, f_ = ops
+            dm = jnp.where(f_, d_, inf)
+            cand = jnp.where(
+                g.edge_mask_csc,
+                src_vals_to_csc(g, dm) + g.csc_weights, inf,
+            )
+            best = reduce_csc_by_dst(g, cand, "min")
+            improved = best < d_
+            return jnp.minimum(d_, best), improved, jnp.bool_(False)
+
+        def make_sparse(cv, ce):
+            def sp(ops):
+                d_, f_ = ops
+                idx, cnt, v_ovf = compact_frontier(f_, cv)
+                esrc, edst, eid, valid, total = expand_frontier(
+                    g, idx, cnt, ce
+                )
+                cand = d_[esrc] + g.csr_weights[eid]
+                dstw = jnp.where(valid, edst, n_pad)
+                ext = jnp.concatenate([d_, jnp.full(1, inf)])
+                d2 = ext.at[dstw].min(
+                    jnp.where(valid, cand, inf), mode="drop"
+                )[:n_pad]
+                return d2, d2 < d_, v_ovf | (total > ce)
+
+            return sp
+
+        branches = [make_sparse(cv, ce) for cv, ce in tiers] + [dense]
+        tier_idx = jnp.int32(len(tiers))
+        for i in reversed(range(len(tiers))):
+            cv, ce = tiers[i]
+            tier_idx = jnp.where(
+                (fe <= ce) & (fl <= cv), jnp.int32(i), tier_idx
+            )
+        d2, improved, ovf = jax.lax.switch(
+            tier_idx, branches, (dist, frontier)
+        )
+        return d2, improved, ovf, tier_idx < len(tiers)
+
+    def step(state):
+        dist, pending, B, it, sparses, ovf = state
+        active = pending & (dist < B)
+        has_active = jnp.any(active)
+        # bucket drained: advance B to the next pending bucket boundary
+        # (jump straight to floor(min_pending/delta+1)*delta — no empty
+        # spin rounds)
+        min_pend = jnp.min(jnp.where(pending, dist, inf))
+        B_next = (jnp.floor(min_pend / dlt) + 1.0) * dlt
+        B = jnp.where(has_active, B, B_next)
+        active = pending & (dist < B)
+
+        dist2, improved, step_ovf, used_sparse = relax(dist, active)
+        # settled vertices of this bucket leave pending; improvements
+        # (re)enter — a vertex improved into the CURRENT bucket is
+        # re-processed next round (light-edge reentry), one improved
+        # past B waits for its bucket
+        pending = (pending & ~active) | improved
+        return (
+            dist2, pending, B, it + 1,
+            sparses + used_sparse.astype(jnp.int32), ovf | step_ovf,
+        )
+
+    def cond(state):
+        _, pending, _, it, _, _ = state
+        return jnp.any(pending) & (it < max_iter)
+
+    dist, _, _, it, sparses, ovf = jax.lax.while_loop(
+        cond, step,
+        (dist0, pending0, dlt, jnp.int32(0), jnp.int32(0),
+         jnp.bool_(False)),
+    )
+    return _finish(g, dist, src, it, sparses, ovf)
+
+
+def _finish(g, dist, src, it, sparses, ovf):
+    INT_MAX = jnp.iinfo(jnp.int32).max
     # predecessors in one post-pass: pred[v] = min{u : dist[u]+w == dist[v]}
     # (f32 sums recomputed identically to the relax step -> bitwise match)
     d_src = src_vals_to_csc(g, dist)
@@ -216,7 +325,12 @@ def sssp(
     sparse_capv: int | None = None,
     sparse_cape: int | None = None,
     sync_cape: int | None = None,
+    variant: str = "bellman",
+    delta: float | None = None,
 ) -> SsspResult:
+    """``variant="delta"`` runs delta-stepping (bucketed frontiers that
+    ride the sparse tiers — see ``_sssp_delta_impl``); ``delta`` is the
+    bucket width (default: mean edge weight, a standard heuristic)."""
     if max_iter is None:
         max_iter = g.n_pad  # Bellman-Ford converges in <= n-1 rounds
     # 0 disables the sparse path; None lets ops/sparse.default_tiers pick
@@ -241,6 +355,18 @@ def sssp(
         # workloads (near-BFS weight distributions, incremental
         # re-solves); pass e.g. m_pad//32 to enable.
         sync_cape = 0
+    if variant == "delta":
+        if delta is None:
+            w = np.asarray(g.csc_weights)
+            mask = np.asarray(g.edge_mask_csc)
+            delta = float(max(w[mask].mean(), 1e-6)) if mask.any() \
+                else 1.0
+        return _sssp_delta_impl(
+            g, jnp.asarray(src), int(max_iter), int(sparse_capv),
+            int(sparse_cape), float(delta),
+        )
+    if variant != "bellman":
+        raise ValueError(f"unknown variant {variant!r}")
     return _sssp_impl(
         g, jnp.asarray(src), int(max_iter), int(sparse_capv),
         int(sparse_cape), int(sync_cape),

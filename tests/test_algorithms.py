@@ -384,3 +384,19 @@ def test_sparse_overflow_flag_stays_false(random_graph, random_slice):
     assert not bool(res.sparse_overflowed)
     res2 = sssp(random_slice, src=0)
     assert not bool(res2.sparse_overflowed)
+
+
+def test_sssp_delta_stepping_matches_oracle(random_graph, random_slice):
+    from mini_tpu.algorithms import sssp as _sssp
+
+    for src in (0, 17):
+        res = _sssp(random_slice, src=src, variant="delta")
+        exp, _ = sssp_cpu(random_graph, src)
+        np.testing.assert_array_equal(  # bitwise (f32 min fixpoint)
+            np.asarray(res.dists)[: random_graph.n], exp
+        )
+        assert not bool(res.sparse_overflowed)
+        assert validate_pred_tree(
+            np.asarray(res.dists)[: random_graph.n],
+            np.asarray(res.preds), random_graph, src,
+        )
