@@ -84,6 +84,17 @@ def main(argv=None):
         "--heads", type=int, default=2,
         help="gat: attention heads per layer",
     )
+    p.add_argument(
+        "--sssp-variant", choices=["bellman", "delta"],
+        default="bellman",
+        help="sssp algorithm: frontier Bellman-Ford (default) or "
+        "delta-stepping (bucketed; wins on high-diameter weighted "
+        "graphs — see BASELINE.md)",
+    )
+    p.add_argument(
+        "--delta", type=float, default=None,
+        help="delta-stepping bucket width (default: mean edge weight)",
+    )
     p.add_argument("--alpha", type=float, default=None)
     p.add_argument("--undirected", action="store_true")
     p.add_argument("--random-weights", action="store_true")
@@ -191,7 +202,9 @@ def main(argv=None):
                                      sparse_cape=qs_cap)
         else:
             run = lambda: sssp(gs, args.src, sparse_capv=qs_cap,  # noqa: E731
-                               sparse_cape=qs_cap)
+                               sparse_cape=qs_cap,
+                               variant=args.sssp_variant,
+                               delta=args.delta)
         res = run()
         t = time_fn(run)
         dists = np.asarray(res.dists)
