@@ -51,10 +51,10 @@ class SsspResult:
     # reference's exit-on-overflow, `frontier.hxx:85-93`)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _sssp_impl(
     g: GraphSlice, src, max_iter: int, capv: int, cape: int,
-    sync_cape: int = 0,
+    sync_cape: int = 0, with_preds: bool = True,
 ):
     n_pad = g.n_pad
     m_pad = g.m_pad
@@ -189,12 +189,13 @@ def _sssp_impl(
         (dist0, frontier0, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
          dist_csc0, jnp.zeros(n_pad, jnp.bool_)),
     )
-    return _finish(g, dist, src, it, sparses, ovf)
+    return _finish(g, dist, src, it, sparses, ovf, with_preds)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _sssp_delta_impl(
-    g: GraphSlice, src, max_iter: int, capv: int, cape: int, delta: float
+    g: GraphSlice, src, max_iter: int, capv: int, cape: int, delta: float,
+    with_preds: bool = True,
 ):
     """Delta-stepping SSSP (opt-in ``sssp(variant="delta")``).
 
@@ -271,6 +272,10 @@ def _sssp_delta_impl(
         # spin rounds)
         min_pend = jnp.min(jnp.where(pending, dist, inf))
         B_next = (jnp.floor(min_pend / dlt) + 1.0) * dlt
+        # f32 progress guard (ADVICE r4): when min_pend/delta >= 2^24 the
+        # floor+1 round-trip can round B_next back to <= min_pend, leaving
+        # the active set empty forever; force B strictly past min_pend
+        B_next = jnp.maximum(B_next, jnp.nextafter(min_pend, inf))
         B = jnp.where(has_active, B, B_next)
         active = pending & (dist < B)
 
@@ -294,11 +299,17 @@ def _sssp_delta_impl(
         (dist0, pending0, dlt, jnp.int32(0), jnp.int32(0),
          jnp.bool_(False)),
     )
-    return _finish(g, dist, src, it, sparses, ovf)
+    return _finish(g, dist, src, it, sparses, ovf, with_preds)
 
 
-def _finish(g, dist, src, it, sparses, ovf):
+def _finish(g, dist, src, it, sparses, ovf, with_preds: bool = True):
     INT_MAX = jnp.iinfo(jnp.int32).max
+    if not with_preds:
+        # ``with_preds=False`` (batch sweeps that only need distances)
+        # skips the pred post-pass — two payload sorts + a reduce per
+        # source (same rationale as bfs._bfs_impl's flag)
+        preds = jnp.full(g.n_pad, -1, jnp.int32)
+        return SsspResult(dist, preds, it, sparses, ovf)
     # predecessors in one post-pass: pred[v] = min{u : dist[u]+w == dist[v]}
     # (f32 sums recomputed identically to the relax step -> bitwise match)
     d_src = src_vals_to_csc(g, dist)
@@ -327,10 +338,16 @@ def sssp(
     sync_cape: int | None = None,
     variant: str = "bellman",
     delta: float | None = None,
+    with_preds: bool = True,
 ) -> SsspResult:
     """``variant="delta"`` runs delta-stepping (bucketed frontiers that
     ride the sparse tiers — see ``_sssp_delta_impl``); ``delta`` is the
-    bucket width (default: mean edge weight, a standard heuristic)."""
+    bucket width (default: mean edge weight, a standard heuristic).
+    ``variant="auto"`` picks delta-stepping when the graph's estimated
+    round count is large (high-diameter weighted graphs — grids, road
+    networks, meshes) and Bellman-Ford otherwise; see
+    :func:`_auto_variant`.  ``with_preds=False`` skips the predecessor
+    post-pass (two payload sorts + a reduce)."""
     if max_iter is None:
         max_iter = g.n_pad  # Bellman-Ford converges in <= n-1 rounds
     # 0 disables the sparse path; None lets ops/sparse.default_tiers pick
@@ -355,28 +372,71 @@ def sssp(
         # workloads (near-BFS weight distributions, incremental
         # re-solves); pass e.g. m_pad//32 to enable.
         sync_cape = 0
+    if variant == "auto":
+        variant = _auto_variant(g)
     if variant == "delta":
-        if delta is None:
-            w = np.asarray(g.csc_weights)
-            mask = np.asarray(g.edge_mask_csc)
-            delta = float(max(w[mask].mean(), 1e-6)) if mask.any() \
-                else 1.0
+        delta = _default_delta(g) if delta is None else delta
         return _sssp_delta_impl(
             g, jnp.asarray(src), int(max_iter), int(sparse_capv),
-            int(sparse_cape), float(delta),
+            int(sparse_cape), float(delta), bool(with_preds),
         )
     if variant != "bellman":
         raise ValueError(f"unknown variant {variant!r}")
     return _sssp_impl(
         g, jnp.asarray(src), int(max_iter), int(sparse_capv),
-        int(sparse_cape), int(sync_cape),
+        int(sparse_cape), int(sync_cape), bool(with_preds),
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _sssp_batch_impl(g, srcs, max_iter, capv, cape, sync_cape):
+def _default_delta(g: GraphSlice) -> float:
+    """Default bucket width: mean edge weight (the standard heuristic;
+    the measured sweep on weighted grid2d/delaunay — BASELINE.md round 5 —
+    shows a wide flat optimum around it)."""
+    w = np.asarray(g.csc_weights)
+    mask = np.asarray(g.edge_mask_csc)
+    return float(max(w[mask].mean(), 1e-6)) if mask.any() else 1.0
+
+
+def _auto_variant(g: GraphSlice) -> str:
+    """Pick the SSSP variant from a cheap round-count proxy.
+
+    Bellman-Ford runs ~graph-diameter dense O(m) rounds; delta-stepping
+    replaces them with many small bucket rounds that ride the bounded
+    sparse tiers.  The crossover (measured: uniform-weight RMAT [diameter
+    ~6-8] loses, weighted grid2d/delaunay [hundreds of rounds] wins —
+    BASELINE.md round 5) is estimated from the expansion rate of a
+    low-degree graph: mean out-degree < ``_AUTO_DEGREE_THRESHOLD`` means
+    frontier growth per round is small, so the effective diameter — and
+    the Bellman round count — is large.  Host-side and O(1) (uses the
+    prebuilt degree array).
+    """
+    deg = float(np.asarray(g.out_degrees)[: int(g.n)].mean())
+    return "delta" if deg < _AUTO_DEGREE_THRESHOLD else "bellman"
+
+
+# mean out-degree below which _auto_variant picks delta-stepping: grid2d
+# has ~4, delaunay ~6, RMAT-ef16 ~16; the measured win/loss boundary sits
+# between the mesh families and RMAT (BASELINE.md round-5 sweep)
+_AUTO_DEGREE_THRESHOLD = 8.0
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _sssp_batch_impl(g, srcs, max_iter, capv, cape, sync_cape, with_preds):
     def body(_, s):
-        return None, _sssp_impl(g, s, max_iter, capv, cape, sync_cape)
+        return None, _sssp_impl(
+            g, s, max_iter, capv, cape, sync_cape, with_preds
+        )
+
+    _, res = jax.lax.scan(body, None, srcs)
+    return res
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _sssp_batch_delta_impl(g, srcs, max_iter, capv, cape, delta, with_preds):
+    def body(_, s):
+        return None, _sssp_delta_impl(
+            g, s, max_iter, capv, cape, delta, with_preds
+        )
 
     _, res = jax.lax.scan(body, None, srcs)
     return res
@@ -389,11 +449,16 @@ def sssp_batch(
     sparse_capv: int | None = None,
     sparse_cape: int | None = None,
     sync_cape: int | None = None,
+    variant: str = "bellman",
+    delta: float | None = None,
+    with_preds: bool = True,
 ) -> SsspResult:
     """Multi-source SSSP in one jitted ``lax.scan`` over sources — the
     dispatch-amortized batch form (see :func:`mini_tpu.algorithms.bfs.
     bfs_batch` for the design rationale).  Each result field gains a
-    leading ``[len(srcs)]`` axis; bitwise-identical to per-source calls."""
+    leading ``[len(srcs)]`` axis; bitwise-identical to per-source calls.
+    ``variant``/``delta``/``with_preds`` mirror :func:`sssp` (ADVICE r4:
+    the CLI's ``--sources`` form previously dropped the variant)."""
     if max_iter is None:
         max_iter = g.n_pad
     if sparse_capv is None:
@@ -403,9 +468,19 @@ def sssp_batch(
     if sync_cape is None:
         sync_cape = 0  # see sssp(): full rebuild is the measured default
     srcs = jnp.atleast_1d(jnp.asarray(srcs, jnp.int32))
+    if variant == "auto":
+        variant = _auto_variant(g)
+    if variant == "delta":
+        delta = _default_delta(g) if delta is None else delta
+        return _sssp_batch_delta_impl(
+            g, srcs, int(max_iter), int(sparse_capv), int(sparse_cape),
+            float(delta), bool(with_preds),
+        )
+    if variant != "bellman":
+        raise ValueError(f"unknown variant {variant!r}")
     return _sssp_batch_impl(
         g, srcs, int(max_iter), int(sparse_capv), int(sparse_cape),
-        int(sync_cape),
+        int(sync_cape), bool(with_preds),
     )
 
 

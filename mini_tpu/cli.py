@@ -85,11 +85,11 @@ def main(argv=None):
         help="gat: attention heads per layer",
     )
     p.add_argument(
-        "--sssp-variant", choices=["bellman", "delta"],
+        "--sssp-variant", choices=["bellman", "delta", "auto"],
         default="bellman",
-        help="sssp algorithm: frontier Bellman-Ford (default) or "
+        help="sssp algorithm: frontier Bellman-Ford (default), "
         "delta-stepping (bucketed; wins on high-diameter weighted "
-        "graphs — see BASELINE.md)",
+        "graphs — see BASELINE.md), or auto (degree-based pick)",
     )
     p.add_argument(
         "--delta", type=float, default=None,
@@ -199,7 +199,9 @@ def main(argv=None):
 
         if srcs is not None:
             run = lambda: sssp_batch(gs, srcs, sparse_capv=qs_cap,  # noqa: E731
-                                     sparse_cape=qs_cap)
+                                     sparse_cape=qs_cap,
+                                     variant=args.sssp_variant,
+                                     delta=args.delta)
         else:
             run = lambda: sssp(gs, args.src, sparse_capv=qs_cap,  # noqa: E731
                                sparse_cape=qs_cap,

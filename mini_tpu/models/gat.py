@@ -94,9 +94,13 @@ def _gat_layer_banded(
             parts.append(
                 jnp.zeros((n_pad, d_pad - d - 1), jnp.float32)
             )
+    # hw_cat stays f32 through the gather so the attention scores are
+    # computed in f32 (matching the docstring contract and the fused-path
+    # backward recompute — ADVICE r4); the message_dtype cast happens
+    # fused into the per-band weight multiply below.  Gather time is
+    # dtype-independent on this chip (CLAUDE.md), so the cost is only the
+    # wider gather write (~1-2 ms at rmat16 bf16, measured round 5).
     hw_cat = jnp.concatenate(parts, axis=-1)
-    if message_dtype is not None:
-        hw_cat = hw_cat.astype(message_dtype)
 
     # block-diagonal src-score projector [F, H] (zeros over the padding
     # rows, so the ones-column never leaks into scores)
@@ -128,6 +132,8 @@ def _gat_layer_banded(
             w = jnp.where(
                 dev["valid"][k][:, None], jnp.exp(e - bound), 0.0
             )
+            if message_dtype is not None:
+                xg = xg.astype(message_dtype)
             xg = (
                 xg.reshape(mk, H, d_pad) * w[:, :, None].astype(xg.dtype)
             ).reshape(mk, F)
@@ -301,10 +307,14 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
     return f
 
 
-def _banded_layer_supported(g, n_heads: int, d: int, force: bool) -> bool:
+def _banded_layer_supported(
+    g, n_heads: int, d: int, force: bool, n_rows: int | None = None
+) -> bool:
     """Static preconditions of `_gat_layer_banded` (mirrors its early
-    returns) so the custom_vjp wrapper is only entered when the banded
-    path will actually run."""
+    returns, INCLUDING the feature-row-count vs layout padding check —
+    ADVICE r4) so the custom_vjp wrapper is only entered when the banded
+    path will actually run; any mismatch falls back to the fused path
+    instead of tripping the wrapper's assert at trace time."""
     import math
 
     import jax as _jax
@@ -322,6 +332,8 @@ def _banded_layer_supported(g, n_heads: int, d: int, force: bool) -> bool:
         return False
     layout = get_layout(g, "pull", row_bytes=F * 4)
     if layout is None or not layout.offsets:
+        return False
+    if n_rows is not None and n_rows != layout.n_pad:
         return False
     return True
 
@@ -417,7 +429,8 @@ def gat_forward(
         s_dst_l = [hws[hd] @ layer["a_dst"][hd] for hd in range(n_heads)]
 
         if attn in ("auto", "banded") and _banded_layer_supported(
-            g, n_heads, d, force=attn == "banded"
+            g, n_heads, d, force=attn == "banded",
+            n_rows=hws[0].shape[0],
         ):
             fn = _make_banded_layer_fn(
                 g, d, negative_slope, message_dtype,

@@ -20,6 +20,19 @@ def _treedef_str(treedef) -> str:
     return str(treedef)
 
 
+def _key_paths(tree) -> list[str]:
+    """Version-independent structure signature: the flattened key path of
+    every leaf (dict keys, dataclass fields, sequence indices) rendered
+    by ``jax.tree_util.keystr``.  Unlike ``str(treedef)`` this is
+    comparable across jax versions, so a cross-version load still fails
+    loudly when key NAMES differ even if leaf count/shape/dtype all
+    match (ADVICE r4: silent parameter permutation)."""
+    import jax
+
+    leaves_kp, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [jax.tree_util.keystr(kp) for kp, _ in leaves_kp]
+
+
 def save_pytree(path: str, tree) -> None:
     import jax
 
@@ -37,6 +50,7 @@ def save_pytree(path: str, tree) -> None:
             "leaf_sig": [
                 [list(a.shape), str(a.dtype)] for a in arrays.values()
             ],
+            "key_paths": _key_paths(tree),
         }
     )
     np.savez(
@@ -62,6 +76,7 @@ def load_pytree(path: str, like):
     n = len(leaves_like)
 
     stored_def, stored_n, stored_ver, stored_sig = None, None, None, None
+    stored_paths = None
     if "__treedef__" in data:
         meta_raw = data["__treedef__"].tobytes().decode()
         try:
@@ -70,6 +85,7 @@ def load_pytree(path: str, like):
             stored_n = meta.get("num_leaves")
             stored_ver = meta.get("jax_version")
             stored_sig = meta.get("leaf_sig")
+            stored_paths = meta.get("key_paths")
         except json.JSONDecodeError:
             # round-1 format stored json.dumps(str(treedef)) directly
             stored_def = json.loads(meta_raw)
@@ -90,9 +106,18 @@ def load_pytree(path: str, like):
                 f"checkpoint {path!r} leaf signature mismatch:\n"
                 f"  stored: {stored_sig}\n  target: {got_sig}"
             )
+    if stored_paths is not None:
+        # version-independent STRUCTURAL check (key names, not just leaf
+        # shapes): keystr-rendered flattened key paths
+        got_paths = _key_paths(like)
+        if stored_paths != got_paths:
+            raise ValueError(
+                f"checkpoint {path!r} key-path mismatch:\n"
+                f"  stored: {stored_paths}\n  target: {got_paths}"
+            )
     # str(treedef) is only comparable when rendered by the same jax
     # version (its format is not stable API); cross-version loads rely
-    # on the leaf count + signature checks above
+    # on the leaf count + signature + key-path checks above
     same_ver = stored_ver is None or stored_ver == jax.__version__
     if (
         stored_def is not None

@@ -101,6 +101,25 @@ def test_gat_banded_attention_matches_oracle():
     )
 
 
+def test_gat_banded_bf16_scores_stay_f32():
+    # ADVICE r4: the banded path must compute attention scores in f32
+    # even under message_dtype=bf16 (only messages are cast), matching
+    # the fused path the custom VJP recomputes through
+    hg, gs, x = _setup(seed=4)
+    params = gat_init(jax.random.PRNGKey(6), [8, 16, 3], heads=2)
+    outb = gat_forward(
+        params, gs, x, attn="banded", message_dtype=jnp.bfloat16
+    )
+    outf = gat_forward(
+        params, gs, x, attn="fused", message_dtype=jnp.bfloat16
+    )
+    # both paths: f32 scores, bf16 messages -> agree to bf16 tolerance
+    np.testing.assert_allclose(
+        np.asarray(outb)[: hg.n], np.asarray(outf)[: hg.n],
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_gat_banded_grads_match_fused():
     # the banded layer's custom VJP re-derives cotangents through the
     # fused engine path — gradients must match autodiff of the fused

@@ -78,8 +78,9 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
     # jnp.zeros f32 — or the same-jax-version treedef check)
     with pytest.raises(ValueError, match="mismatch"):
         load_pytree(path, {"a": jnp.zeros(4), "c": jnp.zeros(3)})
-    # same leaf shapes/dtypes, different keys -> treedef check catches it
-    with pytest.raises(ValueError, match="structure mismatch"):
+    # same leaf shapes/dtypes, different keys -> the key-path (or
+    # same-version treedef) structural check catches it
+    with pytest.raises(ValueError, match="(key-path|structure) mismatch"):
         load_pytree(
             path,
             {"a": jnp.zeros(4, jnp.int32), "c": jnp.zeros(3)},
@@ -87,6 +88,32 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
     # different leaf count -> must raise, not load garbage
     with pytest.raises(ValueError, match="leaves"):
         load_pytree(path, {"a": jnp.zeros(4)})
+
+
+def test_checkpoint_cross_version_key_paths(tmp_path):
+    # ADVICE r4: when the stored jax version differs, str(treedef) is
+    # skipped — the keystr key-path signature must still catch a key
+    # rename with identical leaf count/shape/dtype
+    import json
+    import pytest
+
+    state = {"a": jnp.zeros(4), "b": jnp.ones(3)}
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, state)
+    # simulate a checkpoint written by a different jax version
+    data = dict(np.load(path))
+    meta = json.loads(data["__treedef__"].tobytes().decode())
+    meta["jax_version"] = "0.0.999-other"
+    data["__treedef__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **data)
+    # same shapes/dtypes, renamed key -> key-path check must fire
+    with pytest.raises(ValueError, match="key-path"):
+        load_pytree(path, {"a": jnp.zeros(4), "c": jnp.ones(3)})
+    # unchanged structure still loads across versions
+    restored = load_pytree(path, {"a": jnp.full(4, 9.0), "b": jnp.zeros(3)})
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.zeros(4))
 
 
 def test_scope_runs():
