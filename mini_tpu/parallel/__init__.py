@@ -22,4 +22,6 @@ from mini_tpu.parallel.distributed import dist_lspar  # noqa: F401
 from mini_tpu.parallel.models import (  # noqa: F401
     dist_gat_forward,
     dist_sage_forward,
+    dist_gat_train,
+    dist_sage_train,
 )
