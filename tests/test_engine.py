@@ -167,3 +167,40 @@ def test_segment_softmax_batched_matches_per_head():
     for k in range(2):
         ref = segment_softmax_by_dst(gs, jnp.asarray(scores[:, k]))
         np.testing.assert_array_equal(np.asarray(out[:, k]), np.asarray(ref))
+
+
+def test_engine_linear_op_vjps_match_indexed_autodiff(random_slice):
+    # round 5: the engine's linear movers carry analytic custom VJPs
+    # (sort-free transposes) so TPU training never differentiates through
+    # lax.sort; gradients must equal autodiff of the same math written
+    # with plain gathers + segment_sum (independent machinery)
+    import jax
+    import jax.numpy as jnp
+
+    g = random_slice
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(g.n_pad).astype(np.float32))
+    y = jnp.asarray(rng.rand(g.n_pad).astype(np.float32))
+    z = jnp.asarray(rng.rand(g.n_pad).astype(np.float32))
+
+    def f_engine(x, y, z):
+        ex, ez = src_vals_to_csc(g, x, z)  # multi-payload form
+        e = ex * dst_vals_to_csc(g, y) + 0.5 * ez
+        e = jnp.where(g.edge_mask_csc, e, 0.0)
+        return jnp.sum(reduce_csc_by_dst(g, e, "sum") ** 2)
+
+    def f_indexed(x, y, z):
+        e = x[g.csc_srcs] * y[g.csc_dsts] + 0.5 * z[g.csc_srcs]
+        e = jnp.where(g.edge_mask_csc, e, 0.0)
+        seg = jax.ops.segment_sum(e, g.csc_dsts, num_segments=g.n_pad)
+        return jnp.sum(seg**2)
+
+    np.testing.assert_allclose(
+        float(f_engine(x, y, z)), float(f_indexed(x, y, z)), rtol=1e-5
+    )
+    ge = jax.grad(f_engine, argnums=(0, 1, 2))(x, y, z)
+    gi = jax.grad(f_indexed, argnums=(0, 1, 2))(x, y, z)
+    for a, b in zip(ge, gi):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

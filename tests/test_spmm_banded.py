@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# interpret-mode Pallas kernel runs are the suite's heavy tail (VERDICT r4
+# Weak #6); deselect with `-m "not slow"` for quick iteration
+pytestmark = pytest.mark.slow
+
 from mini_tpu.graph import GraphSlice, erdos_renyi
 from mini_tpu.graph.banded import build_banded_layout, get_layout
 from mini_tpu.ops.pallas.spmm_banded import banded_segment_sum, banded_sddmm
