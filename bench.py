@@ -91,6 +91,22 @@ def main():
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(results, f, indent=2)
 
+    # ------------- dispatch floor (headline companion) -------------
+    # The ~25 ms host-synchronized tunnel dispatch dominates a ~55 ms
+    # 5-round BFS and swings +-15% between sessions (BASELINE.md), so the
+    # raw headline mixes tunnel weather with code changes.  Measure THIS
+    # session's floor (empty jitted program, same dispatch+fetch path)
+    # and emit it plus a floor-corrected rate alongside the headline.
+    empty = jax.jit(lambda a: a)
+    zf = jnp.zeros(8, jnp.float32)
+    np.asarray(empty(zf))  # compile
+    floor_s = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(empty(zf))
+        floor_s = min(floor_s, time.perf_counter() - t0)
+    results["dispatch_floor_ms"] = floor_s * 1e3
+
     # ---------------- BFS (headline) ----------------
     # RMAT leaves many vertices isolated; traverse from the max-degree hub
     src = int(np.argmax(hg.out_degrees))
@@ -127,10 +143,15 @@ def main():
             print(f"# trace failed: {exc!r}", file=sys.stderr,
                   flush=True)
     bfs_mteps = edges_reached / t.min_s / 1e6
+    # floor-corrected companion: the same run with this session's
+    # measured dispatch floor subtracted — the round-over-round signal
+    # (raw wall stays the headline for continuity)
+    bfs_mteps_fc = edges_reached / max(t.min_s - floor_s, 1e-9) / 1e6
     results["bfs"] = {
         "iterations": int(res.num_iterations),
         "time_ms": t.min_s * 1e3,
         "mteps": bfs_mteps,
+        "mteps_floor_corrected": bfs_mteps_fc,
     }
 
     # ---------------- SSSP ----------------
@@ -296,6 +317,11 @@ def main():
                 "value": round(bfs_mteps, 2),
                 "unit": "MTEPS",
                 "vs_baseline": round(bfs_mteps / BASELINE_MTEPS, 3),
+                # companions (VERDICT r4 Weak #1): separate tunnel
+                # weather from code movement — floor_corrected removes
+                # this session's measured empty-dispatch floor
+                "dispatch_floor_ms": round(floor_s * 1e3, 2),
+                "mteps_floor_corrected": round(bfs_mteps_fc, 2),
             }
         ),
         flush=True,
@@ -404,6 +430,86 @@ def main():
                     "iters": r,
                     "per_fwd_ms": t.min_s / r * 1e3,
                     "agg_edges_per_s": 2 * hg.m * r / t.min_s,
+                }
+            except Exception as exc:
+                results[label] = {"error": repr(exc)[:300]}
+
+    # ---------------- training steps (round 5, VERDICT #1) --------------
+    # One full optimizer step (fwd + bwd + SGD-momentum update), wall
+    # basis; each row also reports the ratio to its own forward so the
+    # backward's cost is legible.  GAT rows cover both backward routes:
+    # attn="auto" (banded fwd + custom-VJP recompute through the fused
+    # path) and attn="fused" (one differentiable program).
+    flush()
+    print("# models done", file=sys.stderr, flush=True)
+    if jax.default_backend() == "tpu" and "train" not in SKIP:
+        from mini_tpu.models.gcn import gcn_init_opt, gcn_train_step
+        from mini_tpu.models.gat import gat_init_opt, gat_train_step
+
+        rng2 = np.random.RandomState(1)
+        labels_t = jnp.asarray(rng2.randint(0, 32, gs.n_pad))
+        mask_t = jnp.arange(gs.n_pad) < hg.n
+        train_rows = [
+            ("gcn_train_f32", "gcn", {"impl": "banded",
+                                      "message_dtype": None}),
+            ("gcn_train_bf16", "gcn", {"impl": "banded",
+                                       "message_dtype": jnp.bfloat16}),
+            ("gat_train_f32", "gat", {"attn": "auto",
+                                      "message_dtype": None}),
+            ("gat_train_bf16", "gat", {"attn": "auto",
+                                       "message_dtype": jnp.bfloat16}),
+            ("gat_train_fused_f32", "gat", {"attn": "fused",
+                                            "message_dtype": None}),
+        ]
+        if SCALE >= 20:  # f32 message streams exceed HBM (see above)
+            train_rows = [
+                r for r in train_rows
+                if r[2]["message_dtype"] is jnp.bfloat16
+            ]
+        for label, kind, kw in train_rows:
+            try:
+                if kind == "gcn":
+                    p0 = gcn_init(jax.random.PRNGKey(2), [F, F, 32])
+                    o0 = gcn_init_opt(p0)
+                    stepf = lambda p, o, kw=kw: gcn_train_step(  # noqa: E731
+                        p, o, gs, norm, x, (labels_t, mask_t), 1e-2,
+                        kw["impl"], kw["message_dtype"],
+                    )
+                else:
+                    p0 = gat_init(jax.random.PRNGKey(2), [F, 32, 32],
+                                  heads=2)
+                    o0 = gat_init_opt(p0)
+                    stepf = lambda p, o, kw=kw: gat_train_step(  # noqa: E731
+                        p, o, gs, x, (labels_t, mask_t), 1e-2, 0.2,
+                        kw["message_dtype"], kw["attn"],
+                    )
+                (p1, o1, loss1), compile_s[label] = first_call(
+                    lambda: stepf(p0, o0)
+                )
+                # donated buffers: thread fresh state through each timed
+                # call (time_fn replays the same lambda)
+                state = {"p": p1, "o": o1}
+
+                def timed(state=state, stepf=stepf):
+                    p, o, l = stepf(state["p"], state["o"])
+                    state["p"], state["o"] = p, o
+                    return l
+
+                t = time_fn(timed, warmup=1, repeat=3)
+                fwd_key = {
+                    "gcn_train_f32": "gcn_pallas",
+                    "gcn_train_bf16": "gcn_pallas_bf16",
+                    "gat_train_f32": "gat_f32",
+                    "gat_train_bf16": "gat_bf16",
+                    "gat_train_fused_f32": "gat_f32",
+                }[label]
+                fwd_ms = results.get(fwd_key, {}).get("time_ms")
+                results[label] = {
+                    "time_ms": t.min_s * 1e3,
+                    "loss": float(loss1),
+                    "vs_forward": (
+                        t.min_s * 1e3 / fwd_ms if fwd_ms else None
+                    ),
                 }
             except Exception as exc:
                 results[label] = {"error": repr(exc)[:300]}

@@ -576,3 +576,54 @@ def gat_forward_cpu(
         else:
             h = sum(heads) / len(heads)
     return h
+
+
+# ------------------------------------------------------------- training
+def gat_loss(
+    params, g: GraphSlice, x, labels, label_mask,
+    negative_slope: float = 0.2, message_dtype=None, attn: str = "auto",
+) -> jnp.ndarray:
+    """Masked softmax cross-entropy over labeled vertices (the
+    `models/gcn.gcn_loss` contract on the GAT forward)."""
+    logits = gat_forward(
+        params, g, x, negative_slope=negative_slope,
+        message_dtype=message_dtype, attn=attn,
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    nll = jnp.where(label_mask, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(label_mask), 1)
+
+
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit, static_argnums=(5, 6, 7, 8), donate_argnums=(0, 1)
+)
+def gat_train_step(
+    params, opt_state, g: GraphSlice, x, batch, lr: float = 1e-2,
+    negative_slope: float = 0.2, message_dtype=None, attn: str = "auto",
+):
+    """One SGD-with-momentum step on the GAT.  With ``attn="auto"`` on
+    TPU the forward runs the banded-native layer and the backward
+    re-derives cotangents through the fused engine path (the custom VJP,
+    :func:`_make_banded_layer_fn`); ``attn="fused"`` differentiates the
+    fused path directly (one program for fwd+bwd).  ``batch = (labels,
+    label_mask)``."""
+    labels, label_mask = batch
+    loss, grads = jax.value_and_grad(gat_loss)(
+        params, g, x, labels, label_mask, negative_slope, message_dtype,
+        attn,
+    )
+    new_opt = jax.tree_util.tree_map(
+        lambda m, dw: 0.9 * m + dw, opt_state, grads
+    )
+    new_params = jax.tree_util.tree_map(
+        lambda p, m: p - lr * m, params, new_opt
+    )
+    return new_params, new_opt, loss
+
+
+def gat_init_opt(params):
+    return jax.tree_util.tree_map(jnp.zeros_like, params)

@@ -138,25 +138,35 @@ def gcn_forward(
 
 
 def gcn_loss(
-    params, g, norm, x, labels, label_mask, impl: str = "auto"
+    params, g, norm, x, labels, label_mask, impl: str = "auto",
+    message_dtype=None,
 ) -> jnp.ndarray:
     """Masked softmax cross-entropy over labeled vertices."""
-    logits = gcn_forward(params, g, norm, x, impl=impl)
+    logits = gcn_forward(
+        params, g, norm, x, impl=impl, message_dtype=message_dtype
+    )
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     nll = jnp.where(label_mask, nll, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(label_mask), 1)
 
 
-@functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(0, 1))
+@functools.partial(
+    jax.jit, static_argnums=(6, 7, 8), donate_argnums=(0, 1)
+)
 def gcn_train_step(
-    params, opt_state, g, norm, x, batch, lr: float = 1e-2
+    params, opt_state, g, norm, x, batch, lr: float = 1e-2,
+    impl: str = "auto", message_dtype=None,
 ):
     """One SGD-with-momentum step (plain pytree optimizer; optax-compatible
-    interfaces live one level up).  ``batch = (labels, label_mask)``."""
+    interfaces live one level up).  ``batch = (labels, label_mask)``.
+    ``impl``/``message_dtype`` select the aggregation path exactly as in
+    :func:`gcn_forward` (bf16 messages = the training fast path; the
+    banded custom VJP backward is sort-free: dx rides the
+    opposite-direction SpMM, dw the banded SDDMM — `ops/spmm.py`)."""
     labels, label_mask = batch
     loss, grads = jax.value_and_grad(gcn_loss)(
-        params, g, norm, x, labels, label_mask
+        params, g, norm, x, labels, label_mask, impl, message_dtype
     )
     new_opt = jax.tree_util.tree_map(
         lambda m, dw: 0.9 * m + dw, opt_state, grads

@@ -13,6 +13,7 @@ segments contiguous; "csr" = sorted by (src, dst).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mini_tpu.graph.csr import GraphSlice
@@ -36,10 +37,7 @@ def _segreduce(g, edge_vals, seg_ids, offsets, op, ident, max_seg_len):
     )
 
 
-def src_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
-    """per-edge value[src(e)] in CSC order: expand along CSR (sorted by
-    src), then switch order with the static-rank sort.  Extra arrays ride
-    the same sort as additional payloads."""
+def _src_vals_to_csc_raw(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
     from mini_tpu.utils.profiling import scope
 
     with scope("engine.src_to_csc"):
@@ -48,6 +46,89 @@ def src_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
             for v in (vertex_vals,) + more
         ]
         return apply_fixed_perm(g.csr_to_csc_rank, *expanded)
+
+
+# --------------------------------------------------------------- autodiff
+# The engine's data movers are LINEAR maps, but native autodiff of their
+# internals breaks on TPU: lax.sort's reverse rule lowers to an m-sized
+# scatter by the argsort (7-8 ns/elem AND it crashes the remote TPU
+# compiler at useful sizes — round-5 measurement, BENCH history), and
+# expand_to_edges runs through an int32 bitcast that has no sensible
+# cotangent.  Each wrapper below installs the analytic transpose built
+# from the SAME forward-style primitives (inverse fixed-perm sort +
+# segmented scan reduce), so backward passes cost what forwards cost and
+# compile everywhere.  Cached per graph so jit retraces reuse one
+# custom_vjp instance (same pattern as models/gat._make_banded_layer_fn).
+_ENGINE_VJP_CACHE: dict = {}
+
+
+def _engine_vjp_fns(g: GraphSlice, n_payloads: int):
+    key = (getattr(g, "fingerprint", id(g)), n_payloads)
+    if key in _ENGINE_VJP_CACHE:
+        return _ENGINE_VJP_CACHE[key]
+
+    @jax.custom_vjp
+    def s2c(xs):
+        return _src_vals_to_csc_raw(g, *xs)
+
+    def s2c_fwd(xs):
+        return s2c(xs), None
+
+    def s2c_bwd(_, ct):
+        cts = (ct,) if n_payloads == 1 else tuple(ct)
+        # transpose of (expand-by-src ∘ csr->csc perm): inverse perm
+        # (csc_eids ranks), then sum per src segment — one multi-payload
+        # sort + one batched scan, no scatter
+        back = apply_fixed_perm(g.csc_eids, *cts)
+        if n_payloads == 1:
+            return ((reduce_csr_by_src(g, back, "sum"),),)
+        stacked = jnp.stack(back, axis=-1)
+        red = reduce_csr_by_src(g, stacked, "sum")
+        return (tuple(red[..., i] for i in range(n_payloads)),)
+
+    s2c.defvjp(s2c_fwd, s2c_bwd)
+
+    @jax.custom_vjp
+    def d2c(x):
+        return expand_to_edges(x, g.col_offsets, g.m_pad)
+
+    def d2c_fwd(x):
+        return d2c(x), None
+
+    def d2c_bwd(_, ct):
+        return (reduce_csc_by_dst(g, ct, "sum"),)
+
+    d2c.defvjp(d2c_fwd, d2c_bwd)
+
+    @jax.custom_vjp
+    def rsum(vals):
+        return _reduce_csc_by_dst_raw(g, vals, "sum", None)
+
+    def rsum_fwd(vals):
+        return rsum(vals), None
+
+    def rsum_bwd(_, ct):
+        return (expand_to_edges(ct, g.col_offsets, g.m_pad),)
+
+    rsum.defvjp(rsum_fwd, rsum_bwd)
+
+    fns = (s2c, d2c, rsum)
+    _ENGINE_VJP_CACHE[key] = fns
+    while len(_ENGINE_VJP_CACHE) > 64:
+        _ENGINE_VJP_CACHE.pop(next(iter(_ENGINE_VJP_CACHE)))
+    return fns
+
+
+def src_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray, *more):
+    """per-edge value[src(e)] in CSC order: expand along CSR (sorted by
+    src), then switch order with the static-rank sort.  Extra arrays ride
+    the same sort as additional payloads.  Differentiable via the analytic
+    transpose (see `_engine_vjp_fns`) when every payload is float."""
+    vals = (vertex_vals,) + more
+    if all(jnp.issubdtype(v.dtype, jnp.floating) for v in vals):
+        s2c, _, _ = _engine_vjp_fns(g, len(vals))
+        return s2c(vals)
+    return _src_vals_to_csc_raw(g, *vals)
 
 
 def src_bits_to_csc(g: GraphSlice, bits: jnp.ndarray) -> jnp.ndarray:
@@ -59,10 +140,14 @@ def src_bits_to_csc(g: GraphSlice, bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def dst_vals_to_csc(g: GraphSlice, vertex_vals: jnp.ndarray) -> jnp.ndarray:
-    """per-edge value[dst(e)] in CSC order: pure expansion (dst sorted)."""
+    """per-edge value[dst(e)] in CSC order: pure expansion (dst sorted).
+    Differentiable via the analytic transpose (segment sum per dst)."""
     from mini_tpu.utils.profiling import scope
 
     with scope("engine.expand_dst"):
+        if jnp.issubdtype(vertex_vals.dtype, jnp.floating):
+            _, d2c, _ = _engine_vjp_fns(g, 1)
+            return d2c(vertex_vals)
         return expand_to_edges(vertex_vals, g.col_offsets, g.m_pad)
 
 
@@ -89,7 +174,24 @@ def reduce_csc_by_dst(
 ) -> jnp.ndarray:
     """Segmented reduce of CSC-ordered per-edge values into [n_pad] dst
     slots: or/and/int-sum via cumsum-difference, min/max/float-sum via one
-    associative scan."""
+    associative scan.  Float ``sum`` is differentiable via the analytic
+    transpose (expansion per dst)."""
+    if (
+        op == "sum"
+        and identity is None
+        and jnp.issubdtype(edge_vals.dtype, jnp.floating)
+    ):
+        _, _, rsum = _engine_vjp_fns(g, 1)
+        return rsum(edge_vals)
+    return _reduce_csc_by_dst_raw(g, edge_vals, op, identity)
+
+
+def _reduce_csc_by_dst_raw(
+    g: GraphSlice,
+    edge_vals: jnp.ndarray,
+    op: str,
+    identity=None,
+) -> jnp.ndarray:
     if op == "or":
         s = contiguous_segment_sum(
             edge_vals.astype(jnp.int32), g.col_offsets

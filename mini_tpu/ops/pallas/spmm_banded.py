@@ -70,9 +70,17 @@ def banded_segment_sum(
     interpret: bool = False,
     edge_chunk: int = EDGE_CHUNK,  # must match the layout's padding
     n_buf: int = N_BUF,
+    cross_band_prefetch: bool = True,
 ) -> jnp.ndarray:
     """out[v] = sum over the K dst-sorted message streams of all messages
-    whose segment is v.  Returns float32[n_tiles*ROW_TILE, F]."""
+    whose segment is v.  Returns float32[n_tiles*ROW_TILE, F].
+
+    ``cross_band_prefetch`` (round 5, VERDICT #8): band k+1's pipeline
+    fill is issued BEFORE band k's compute loop, into the other half of
+    a parity-alternating buffer pair, so only each tile's FIRST band pays
+    an exposed first-chunk DMA latency (was: every (tile, band) pair).
+    No cross-grid-step semaphore state — the parity swap stays inside one
+    grid step.  Costs 2x the message-buffer VMEM (2*N_BUF*C*F)."""
     msgs = tuple(msgs)
     K = len(msgs)
     n_tiles = bounds.shape[1] - 1
@@ -80,6 +88,7 @@ def banded_segment_sum(
     msg_dtype = msgs[0].dtype
     C = edge_chunk
     N_BUF_ = n_buf
+    NPAR = 2 if (cross_band_prefetch and K > 1) else 1
     m_total = sum(int(mk.shape[0]) for mk in msgs)
 
     def kernel(bounds_ref, offs_ref, *rest):
@@ -88,8 +97,8 @@ def banded_segment_sum(
         # cost ~2 us latency x K bands x n_tiles ≈ 40% of kernel time.)
         msgs_refs = rest[:K]
         out_ref = rest[K]
-        msg_buf = rest[K + 1]  # VMEM (N_BUF, C, F)
-        sems = rest[K + 2]  # DMA (N_BUF,)
+        msg_buf = rest[K + 1]  # VMEM (NPAR, N_BUF, C, F)
+        sems = rest[K + 2]  # DMA (NPAR, N_BUF)
 
         i = pl.program_id(0)
         jg_col = jax.lax.broadcasted_iota(jnp.int32, (C, ROW_TILE), 0)
@@ -98,25 +107,51 @@ def banded_segment_sum(
         )
         out_ref[:] = jnp.zeros((ROW_TILE, F), jnp.float32)
 
-        for k in range(K):  # static unroll over bands
+        def make_mdma(k, par):
+            def mdma(slot, c):
+                return pltpu.make_async_copy(
+                    msgs_refs[k].at[pl.ds(c * C, C), :],
+                    msg_buf.at[par, slot],
+                    sems.at[par, slot],
+                )
+
+            return mdma
+
+        def fill(k, par):
+            """Issue band k's (n_buf-1)-deep pipeline fill into parity
+            ``par``'s buffers."""
             start = bounds_ref[k, i]
             end = bounds_ref[k, i + 1]
             c0 = start // C
             c1 = pl.cdiv(end, C)
+            mdma = make_mdma(k, par)
+            for d in range(N_BUF_ - 1):
+                @pl.when((c0 + d < c1))
+                def _(d=d, c0=c0, mdma=mdma):
+                    mdma(d % N_BUF_, c0 + d).start()
 
-            def mdma(slot, c, k=k):
-                return pltpu.make_async_copy(
-                    msgs_refs[k].at[pl.ds(c * C, C), :],
-                    msg_buf.at[slot],
-                    sems.at[slot],
-                )
+        if NPAR == 2:
+            fill(0, 0)  # band 0: the one exposed fill per tile
+
+        for k in range(K):  # static unroll over bands
+            par = k % NPAR
+            start = bounds_ref[k, i]
+            end = bounds_ref[k, i + 1]
+            c0 = start // C
+            c1 = pl.cdiv(end, C)
+            mdma = make_mdma(k, par)
+
+            if NPAR == 2:
+                if k + 1 < K:
+                    # overlap the NEXT band's fill with this band's
+                    # compute (the other parity's buffers are idle)
+                    fill(k + 1, (k + 1) % NPAR)
+            else:
+                fill(k, par)
 
             @pl.when(c0 < c1)
-            def _(k=k, start=start, end=end, c0=c0, c1=c1, mdma=mdma):
-                for d in range(N_BUF_ - 1):  # n_buf-1-deep pipeline fill
-                    @pl.when(c0 + d < c1)
-                    def _(d=d):
-                        mdma(d % N_BUF_, c0 + d).start()
+            def _(k=k, par=par, start=start, end=end, c0=c0, c1=c1,
+                  mdma=mdma):
                 off = offs_ref[0, k].reshape(1, ROW_TILE)
                 nxt = jnp.concatenate(
                     [off[:, 1:], jnp.full((1, 1), end, jnp.int32)],
@@ -148,7 +183,8 @@ def banded_segment_sum(
                     def _():
                         r = jnp.sum((off <= lo).astype(jnp.int32)) - 1
                         colsum = jnp.sum(
-                            msg_buf[slot].astype(jnp.float32), axis=0
+                            msg_buf[par, slot].astype(jnp.float32),
+                            axis=0,
                         )
                         onehot = jnp.where(
                             row_iota == r, jnp.float32(1), jnp.float32(0)
@@ -160,7 +196,8 @@ def banded_segment_sum(
                         jg = jg_col + lo
                         stair = (jg >= off) & (jg < nxt)
                         out_ref[:] = out_ref[:] + _chunk_matmul(
-                            stair, msg_buf[slot], precision, msg_dtype
+                            stair, msg_buf[par, slot], precision,
+                            msg_dtype,
                         )
 
                     return 0
@@ -181,8 +218,8 @@ def banded_segment_sum(
             (ROW_TILE, F), lambda i, bnd: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF_, C, F), msg_dtype),
-            pltpu.SemaphoreType.DMA((N_BUF_,)),
+            pltpu.VMEM((NPAR, N_BUF_, C, F), msg_dtype),
+            pltpu.SemaphoreType.DMA((NPAR, N_BUF_)),
         ],
     )
     passes = 1 if msg_dtype != jnp.float32 else (
@@ -336,7 +373,7 @@ def banded_sddmm(
                     @pl.when(rmw)
                     def _():
                         pltpu.make_async_copy(
-                            out_ref.at[pl.ds(row, 1), :], acc_buf, wsem
+                            out_ref.at[row], acc_buf, wsem
                         ).start()
 
                     mdma(slot, c).wait()
@@ -358,11 +395,14 @@ def banded_sddmm(
                         yrow = jnp.sum(
                             y_ref[:].astype(jnp.float32) * onehot, axis=0
                         )
-                        acc_buf[:] = jnp.sum(
-                            msg_buf[slot].astype(jnp.float32)
-                            * yrow[None, :],
-                            axis=1,
-                        )[None, :]
+                        acc_buf[:] = jnp.broadcast_to(
+                            jnp.sum(
+                                msg_buf[slot].astype(jnp.float32)
+                                * yrow[None, :],
+                                axis=1,
+                            )[None, :],
+                            (8, C),
+                        )
 
                     @pl.when(jnp.logical_not(pure))
                     def _():
@@ -378,17 +418,18 @@ def banded_sddmm(
                         @pl.when(rmw)
                         def _():
                             pltpu.make_async_copy(
-                                out_ref.at[pl.ds(row, 1), :], acc_buf,
-                                wsem,
+                                out_ref.at[row], acc_buf, wsem,
                             ).wait()
                             acc_buf[:] = acc_buf[:] + contrib
 
                         @pl.when(jnp.logical_not(rmw))
                         def _():
-                            acc_buf[:] = contrib
+                            acc_buf[:] = jnp.broadcast_to(
+                                contrib, (8, C)
+                            )
 
                     wr = pltpu.make_async_copy(
-                        acc_buf, out_ref.at[pl.ds(row, 1), :], wsem
+                        acc_buf, out_ref.at[row], wsem
                     )
                     wr.start()
                     wr.wait()
@@ -415,7 +456,13 @@ def banded_sddmm(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((N_BUF, C, F), msg_dtype),
-            pltpu.VMEM((1, C), jnp.float32),
+            # (8, C) with identical rows: a dynamic 1-row DMA slice of the
+            # (8,128)-tiled out memref violates Mosaic's sublane alignment
+            # when the ANY-space output is placed in VMEM (round-5 TPU
+            # compile failure under the train step); indexing the UNTILED
+            # leading dim of a 3D out (the forward's msg_buf.at[slot]
+            # pattern) is always legal, at 8x the DMA bytes (~2 KB/chunk)
+            pltpu.VMEM((8, C), jnp.float32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -427,15 +474,15 @@ def banded_sddmm(
     flat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((total_chunks, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total_chunks, 8, C), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_total * ROW_TILE * F * passes,
             bytes_accessed=m_total * F * np.dtype(msg_dtype).itemsize
-            + n_tiles * ROW_TILE * F * 4 + m_total * 4,
+            + n_tiles * ROW_TILE * F * 4 + m_total * 4 * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bounds, offs2d, *msgs, y).reshape(-1)
+    )(bounds, offs2d, *msgs, y)[:, 0, :].reshape(-1)
     # Chunks past each band's written range [0, cdiv(real_mk, C)) are never
     # touched by any tile — pure padding left as garbage.  Mask them: the
     # band's real edge count is bounds[k, -1] (last tile's end), so a flat

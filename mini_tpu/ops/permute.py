@@ -63,10 +63,75 @@ def apply_fixed_perm(
 
     Implemented as one multi-payload ``lax.sort`` on the static rank key —
     the TPU sort is fully vectorized, unlike gather/scatter.
+
+    Float payloads route through a custom VJP (a permutation's transpose
+    is its inverse permutation — one iota sort to build it, one sort to
+    apply): native autodiff of ``lax.sort`` lowers its reverse pass to an
+    m-sized scatter AND crashes the TPU toolchain outright (round 5: the
+    algebraic simplifier cycle-checks fail on the jvp'd sort).  ``rank``
+    must be a true permutation of [0, m) — every production rank array
+    (csr/csc switch ranks, banded layout ranks over the padded domain)
+    is.
     """
+    if payloads and all(
+        jnp.issubdtype(p.dtype, jnp.floating) for p in payloads
+    ):
+        outs = _apply_fixed_perm_diff(rank, tuple(payloads))
+        return outs[0] if len(outs) == 1 else outs
+    return _apply_fixed_perm_raw(rank, *payloads)
+
+
+_sort_salt_counter = [0]
+
+
+def _apply_fixed_perm_raw(rank, *payloads):
+    # Per-call KEY SALT: XLA's TPU algebraic simplifier MERGES sorts that
+    # share a key into one multi-operand sort; when one such sort's
+    # output transitively feeds another (layer-chained CSR<->CSC switches
+    # in a training graph, through the banded kernel), the merge creates
+    # a cyclic HLO and the compiler CHECK-crashes (round-5 measurement:
+    # SIGABRT, "A cycle is detected", in algebraic_simplifier.cc on the
+    # fused-GAT grad).  optimization_barrier on key or payloads does NOT
+    # stop it (barriers are CSE'd/looked through).  Adding a distinct
+    # small constant per traced call keeps the sort result bitwise
+    # identical (a monotone shift of a permutation key) while making the
+    # key VALUES unequal, so no two sorts are merge candidates.  Cost:
+    # one [m] int vector add per sort (~us).  The %64 window only needs
+    # to separate sorts that could appear in ONE compiled program.
+    salt = _sort_salt_counter[0] % 64
+    _sort_salt_counter[0] += 1
+    if salt:
+        rank = rank + jnp.int32(salt)
     sorted_ = jax.lax.sort((rank,) + tuple(payloads), num_keys=1)
     outs = sorted_[1:]
     return outs[0] if len(outs) == 1 else outs
+
+
+@jax.custom_vjp
+def _apply_fixed_perm_diff(rank, payloads: tuple):
+    out = _apply_fixed_perm_raw(rank, *payloads)
+    return (out,) if len(payloads) == 1 else tuple(out)
+
+
+def _apply_fixed_perm_fwd(rank, payloads):
+    return _apply_fixed_perm_diff(rank, payloads), rank
+
+
+def _apply_fixed_perm_bwd(rank, cts):
+    import numpy as _np
+
+    m = rank.shape[0]
+    inv = _apply_fixed_perm_raw(
+        rank, jnp.arange(m, dtype=jnp.int32)
+    )  # inv[j] = i with rank[i] = j
+    back = _apply_fixed_perm_raw(inv, *cts)
+    if len(cts) == 1:
+        back = (back,)
+    zero_rank = _np.zeros(rank.shape, dtype=jax.dtypes.float0)
+    return zero_rank, tuple(back)
+
+
+_apply_fixed_perm_diff.defvjp(_apply_fixed_perm_fwd, _apply_fixed_perm_bwd)
 
 
 def apply_fixed_perm_bit(
