@@ -57,12 +57,13 @@ def kernel(x_ref, mask_ref, out_ref):
         swap = ((mw >> j) & 1) == 1
         if s < LANES:
             # lane-level exchange: partner lane = lane ^ s via two rolls
-            left = pltpu.roll(x, -s, 1)
+            # (pltpu.roll needs non-negative shifts; -s == size - s)
+            left = pltpu.roll(x, LANES - s, 1)
             right = pltpu.roll(x, s, 1)
             partner = jnp.where((lane_ids & s) == 0, left, right)
         else:
             r = s // LANES
-            up = pltpu.roll(x, -r, 0)
+            up = pltpu.roll(x, ROWS - r, 0)
             down = pltpu.roll(x, r, 0)
             partner = jnp.where((row_ids & r) == 0, up, down)
         x = jnp.where(swap, partner, x)
