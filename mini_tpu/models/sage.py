@@ -71,3 +71,45 @@ def sage_forward_cpu(
         if i < len(params_np) - 1:
             h = np.maximum(h, 0)
     return h
+
+
+# ------------------------------------------------------------- training
+def sage_loss(
+    params, g: GraphSlice, x, labels, label_mask, impl: str = "auto"
+) -> jnp.ndarray:
+    """Masked softmax cross-entropy over labeled vertices (the
+    `models/gcn.gcn_loss` contract on the SAGE forward)."""
+    logits = sage_forward(params, g, x, impl=impl)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    nll = jnp.where(label_mask, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(label_mask), 1)
+
+
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1)
+)
+def sage_train_step(
+    params, opt_state, g: GraphSlice, x, batch, lr: float = 1e-2,
+    impl: str = "auto",
+):
+    """One SGD-with-momentum step (same optimizer contract as
+    `models/gcn.gcn_train_step`); ``batch = (labels, label_mask)``."""
+    labels, label_mask = batch
+    loss, grads = jax.value_and_grad(sage_loss)(
+        params, g, x, labels, label_mask, impl
+    )
+    new_opt = jax.tree_util.tree_map(
+        lambda m, dw: 0.9 * m + dw, opt_state, grads
+    )
+    new_params = jax.tree_util.tree_map(
+        lambda p, m: p - lr * m, params, new_opt
+    )
+    return new_params, new_opt, loss
+
+
+def sage_init_opt(params):
+    return jax.tree_util.tree_map(jnp.zeros_like, params)

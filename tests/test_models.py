@@ -138,3 +138,45 @@ def test_gat_banded_grads_match_fused():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
+
+
+def test_sage_train_step_decreases_loss():
+    from mini_tpu.models.sage import (
+        sage_init, sage_init_opt, sage_train_step,
+    )
+
+    hg, gs, x = _setup(seed=9)
+    params = sage_init(jax.random.PRNGKey(9), [8, 16, 4])
+    opt = sage_init_opt(params)
+    rng = np.random.RandomState(9)
+    lab = jnp.asarray(rng.randint(0, 4, gs.n_pad))
+    msk = jnp.arange(gs.n_pad) < hg.n
+    losses = []
+    for _ in range(5):
+        params, opt, loss = sage_train_step(
+            params, opt, gs, x, (lab, msk), 0.1
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_gat_train_step_decreases_loss():
+    from mini_tpu.models.gat import (
+        gat_init_opt, gat_train_step,
+    )
+
+    hg, gs, x = _setup(seed=10)
+    params = gat_init(jax.random.PRNGKey(10), [8, 16, 4], heads=2)
+    opt = gat_init_opt(params)
+    rng = np.random.RandomState(10)
+    lab = jnp.asarray(rng.randint(0, 4, gs.n_pad))
+    msk = jnp.arange(gs.n_pad) < hg.n
+    losses = []
+    for _ in range(5):
+        params, opt, loss = gat_train_step(
+            params, opt, gs, x, (lab, msk), 0.1
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
