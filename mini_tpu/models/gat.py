@@ -265,11 +265,18 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
     gets a zero cotangent), matching to the pipelines' mutual fp
     tolerance (~1e-5 f32 / ~1e-3 bf16).  Cached per (graph, config) so
     jit retraces reuse one custom_vjp instance."""
+    # cache only for concrete graphs: a traced g (train steps take g as
+    # a jit argument) would leak its tracers into later retraces of the
+    # same fingerprint via the cached closure (cf. engine._engine_vjp_fns)
+    traced = any(
+        isinstance(l, jax.core.Tracer)
+        for l in jax.tree_util.tree_leaves(g)
+    )
     key = (
         getattr(g, "fingerprint", id(g)), d, float(negative_slope),
         str(message_dtype), bool(force),
     )
-    if key in _BANDED_VJP_CACHE:
+    if not traced and key in _BANDED_VJP_CACHE:
         return _BANDED_VJP_CACHE[key]
 
     @jax.custom_vjp
@@ -301,9 +308,10 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
         return g_hws, zeros_a, g_ss, g_sd
 
     f.defvjp(fwd, bwd)
-    _BANDED_VJP_CACHE[key] = f
-    while len(_BANDED_VJP_CACHE) > 32:  # LRU-ish bound (insertion order)
-        _BANDED_VJP_CACHE.pop(next(iter(_BANDED_VJP_CACHE)))
+    if not traced:
+        _BANDED_VJP_CACHE[key] = f
+        while len(_BANDED_VJP_CACHE) > 32:  # LRU-ish (insertion order)
+            _BANDED_VJP_CACHE.pop(next(iter(_BANDED_VJP_CACHE)))
     return f
 
 

@@ -63,8 +63,18 @@ _ENGINE_VJP_CACHE: dict = {}
 
 
 def _engine_vjp_fns(g: GraphSlice, n_payloads: int):
+    # Cache ONLY for concrete graphs: when g's leaves are tracers (the
+    # algorithm impls take g as a jit argument), a cached closure would
+    # capture one trace's tracers and leak them into the next retrace of
+    # the same fingerprint (round-5 UnexpectedTracerError on the delta
+    # sweep — different static delta, same graph).  Fresh per-trace
+    # closures are cheap and trace-local.
+    traced = any(
+        isinstance(l, jax.core.Tracer)
+        for l in jax.tree_util.tree_leaves(g)
+    )
     key = (getattr(g, "fingerprint", id(g)), n_payloads)
-    if key in _ENGINE_VJP_CACHE:
+    if not traced and key in _ENGINE_VJP_CACHE:
         return _ENGINE_VJP_CACHE[key]
 
     @jax.custom_vjp
@@ -113,9 +123,10 @@ def _engine_vjp_fns(g: GraphSlice, n_payloads: int):
     rsum.defvjp(rsum_fwd, rsum_bwd)
 
     fns = (s2c, d2c, rsum)
-    _ENGINE_VJP_CACHE[key] = fns
-    while len(_ENGINE_VJP_CACHE) > 64:
-        _ENGINE_VJP_CACHE.pop(next(iter(_ENGINE_VJP_CACHE)))
+    if not traced:
+        _ENGINE_VJP_CACHE[key] = fns
+        while len(_ENGINE_VJP_CACHE) > 64:
+            _ENGINE_VJP_CACHE.pop(next(iter(_ENGINE_VJP_CACHE)))
     return fns
 
 

@@ -436,3 +436,21 @@ def test_sssp_delta_stepping_matches_oracle(random_graph, random_slice):
             np.asarray(res.dists)[: random_graph.n],
             np.asarray(res.preds), random_graph, src,
         )
+
+
+def test_sssp_retrace_same_graph_different_static_args():
+    # round-5 regression: cached engine/banded custom-VJP closures must
+    # not capture one trace's tracers and leak them into a retrace of
+    # the same graph fingerprint (different static delta)
+    from mini_tpu.graph import grid2d
+
+    hg = grid2d(16, 16, seed=0, weighted=True)
+    gs = GraphSlice.from_host(hg)
+    exp, _ = sssp_cpu(hg, 0)
+    for kwargs in (
+        {"variant": "delta", "delta": 8.0},
+        {"variant": "delta", "delta": 32.0},
+        {},
+    ):
+        r = sssp(gs, 0, **kwargs)
+        np.testing.assert_array_equal(np.asarray(r.dists)[: hg.n], exp)
