@@ -389,34 +389,38 @@ def sssp(
 
 
 def _default_delta(g: GraphSlice) -> float:
-    """Default bucket width: mean edge weight (the standard heuristic;
-    the measured sweep on weighted grid2d/delaunay — BASELINE.md round 5 —
-    shows a wide flat optimum around it)."""
+    """Default bucket width: 16x the mean edge weight.
+
+    The textbook delta (~mean weight, targeting work-efficiency) LOSES
+    1.7-2.7x on every family measured here (BASELINE.md round-5 sweep,
+    grid2d/delaunay/RMAT): on this architecture each round carries a
+    fixed floor cost, so round COUNT binds, not per-round work — wide
+    buckets that keep the round count near Bellman-Ford's while staying
+    on the bounded sparse tiers are the optimum (grid 724: delta=16x
+    mean beats Bellman 1.2x; mean-width loses 1.7x)."""
     w = np.asarray(g.csc_weights)
     mask = np.asarray(g.edge_mask_csc)
-    return float(max(w[mask].mean(), 1e-6)) if mask.any() else 1.0
+    return float(max(16.0 * w[mask].mean(), 1e-6)) if mask.any() else 1.0
 
 
 def _auto_variant(g: GraphSlice) -> str:
-    """Pick the SSSP variant from a cheap round-count proxy.
+    """Pick the SSSP variant from a cheap family proxy.
 
-    Bellman-Ford runs ~graph-diameter dense O(m) rounds; delta-stepping
-    replaces them with many small bucket rounds that ride the bounded
-    sparse tiers.  The crossover (measured: uniform-weight RMAT [diameter
-    ~6-8] loses, weighted grid2d/delaunay [hundreds of rounds] wins —
-    BASELINE.md round 5) is estimated from the expansion rate of a
-    low-degree graph: mean out-degree < ``_AUTO_DEGREE_THRESHOLD`` means
-    frontier growth per round is small, so the effective diameter — and
-    the Bellman round count — is large.  Host-side and O(1) (uses the
-    prebuilt degree array).
+    Measured round-5 sweep (BASELINE.md, weighted 2M-edge instances):
+    delta-stepping with the wide default bucket beats Bellman-Ford 1.2x
+    on grid2d (bucketing keeps every round on the bounded sparse tiers
+    — 1789 sparse rounds vs Bellman's 723 sparse + 788 DENSE), is a
+    ~5% win on delaunay, and a wash on RMAT.  Mean out-degree <
+    ``_AUTO_DEGREE_THRESHOLD`` selects the mesh/road-network family
+    (grid ~4, delaunay ~6, RMAT-ef16 ~32) where bucketing pays.
+    Host-side and O(1) (uses the prebuilt degree array).
     """
     deg = float(np.asarray(g.out_degrees)[: int(g.n)].mean())
     return "delta" if deg < _AUTO_DEGREE_THRESHOLD else "bellman"
 
 
-# mean out-degree below which _auto_variant picks delta-stepping: grid2d
-# has ~4, delaunay ~6, RMAT-ef16 ~16; the measured win/loss boundary sits
-# between the mesh families and RMAT (BASELINE.md round-5 sweep)
+# mean out-degree below which _auto_variant picks delta-stepping: the
+# measured win region is the low-degree mesh families (BASELINE.md r5)
 _AUTO_DEGREE_THRESHOLD = 8.0
 
 
