@@ -80,15 +80,20 @@ def compact_mask(
     are dropped, and the flag makes that detectable (the reference's
     frontier exits the process instead, `frontier.hxx:85-93`).
     """
+    # top_k over position-coded values: the k largest ARE the k smallest
+    # set positions (round 5 — replaces the cumsum + n-sized scatter,
+    # whose ~10 ns/update was the per-round floor of every high-diameter
+    # traversal; 5.19 -> 1.01 ms at n=524k, scratch/probe_compact.py)
+    import jax
+
     n = mask.shape[0]
-    positions = jnp.cumsum(mask.astype(jnp.int32)) - 1
     count = jnp.sum(mask.astype(jnp.int32))
-    out = jnp.full(capacity, -1, dtype=jnp.int32)
-    slot = jnp.where(mask & (positions < capacity), positions, capacity)
-    # one extra scratch slot absorbs out-of-capacity / unset entries
-    out = jnp.concatenate([out, jnp.zeros(1, jnp.int32)])
-    out = out.at[slot].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return out[:capacity], jnp.minimum(count, capacity), count > capacity
+    vals = jnp.where(
+        mask, jnp.int32(n) - jnp.arange(n, dtype=jnp.int32), jnp.int32(0)
+    )
+    top, _ = jax.lax.top_k(vals, capacity)
+    idx = jnp.where(top > 0, jnp.int32(n) - top, -1)
+    return idx, jnp.minimum(count, capacity), count > capacity
 
 
 def uniquify(indices: jnp.ndarray, n_pad: int, capacity: int | None = None):

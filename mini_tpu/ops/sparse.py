@@ -14,6 +14,7 @@ path).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mini_tpu.graph.csr import GraphSlice
@@ -54,22 +55,27 @@ def frontier_edge_count(g: GraphSlice, mask: jnp.ndarray) -> jnp.ndarray:
 
 def compact_frontier(mask: jnp.ndarray, capv: int):
     """Bounded compaction of a bitmap (see ops/frontier.compact_mask, but
-    clamping instead of -1 holes so downstream gathers stay in-bounds).
-    Returns (indices int32[capv] — clamped duplicates past count, count,
+    zero-filling instead of -1 holes so downstream gathers stay
+    in-bounds).  Returns (indices int32[capv] ascending, count,
     overflowed).  ``overflowed`` is True when the population exceeded
     ``capv`` and entries were dropped; the algorithms' tier selection
     checks capacity-fit BEFORE routing here (``frontier_edge_count``), so
     on those paths the flag is statically False — direct callers must
-    check it (the reference hard-exits instead, `frontier.hxx:85-93`)."""
+    check it (the reference hard-exits instead, `frontier.hxx:85-93`).
+
+    Mechanism (round 5): ``lax.top_k`` over position-coded mask values —
+    the k largest values ARE the k smallest set positions.  Replaces the
+    cumsum + n-sized scatter, which at ~10 ns/update was THE per-round
+    floor of every high-diameter traversal (measured 5.19 ms vs top_k's
+    1.01 ms at n=524k, `scratch/probe_compact.py`)."""
     n = mask.shape[0]
-    positions = jnp.cumsum(mask.astype(jnp.int32)) - 1
     count = jnp.sum(mask.astype(jnp.int32))
-    slot = jnp.where(mask & (positions < capv), positions, capv)
-    out = jnp.zeros(capv + 1, jnp.int32)
-    out = out.at[slot].max(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    vals = jnp.where(
+        mask, jnp.int32(n) - jnp.arange(n, dtype=jnp.int32), jnp.int32(0)
     )
-    return out[:capv], jnp.minimum(count, capv), count > capv
+    top, _ = jax.lax.top_k(vals, capv)
+    idx = jnp.where(top > 0, jnp.int32(n) - top, 0)
+    return idx, jnp.minimum(count, capv), count > capv
 
 
 def expand_frontier(
