@@ -389,18 +389,25 @@ def sssp(
 
 
 def _default_delta(g: GraphSlice) -> float:
-    """Default bucket width: 16x the mean edge weight.
+    """Default bucket width: a degree-keyed multiple of the mean edge
+    weight (measured optima, BASELINE.md round-5 sweep).
 
     The textbook delta (~mean weight, targeting work-efficiency) LOSES
-    1.7-2.7x on every family measured here (BASELINE.md round-5 sweep,
-    grid2d/delaunay/RMAT): on this architecture each round carries a
-    fixed floor cost, so round COUNT binds, not per-round work — wide
-    buckets that keep the round count near Bellman-Ford's while staying
-    on the bounded sparse tiers are the optimum (grid 724: delta=16x
-    mean beats Bellman 1.2x; mean-width loses 1.7x)."""
+    1.7-2.7x on every family measured here: on this architecture each
+    round carries a fixed floor cost, so round COUNT binds, not
+    per-round work — the optimum is the WIDEST bucket whose frontiers
+    still fit the bounded sparse tier (wider -> fewer rounds, too wide
+    -> dense spill).  That boundary is family-dependent: grid-like
+    (deg~4) tolerates 64x mean (2.8x over Bellman), delaunay-like
+    (deg~6) spills past 4x (1.8x over Bellman), and high-degree RMAT is
+    flat in delta."""
     w = np.asarray(g.csc_weights)
     mask = np.asarray(g.edge_mask_csc)
-    return float(max(16.0 * w[mask].mean(), 1e-6)) if mask.any() else 1.0
+    if not mask.any():
+        return 1.0
+    deg = float(np.asarray(g.out_degrees)[: int(g.n)].mean())
+    mult = 64.0 if deg < 4.5 else (4.0 if deg < 8.0 else 16.0)
+    return float(max(mult * w[mask].mean(), 1e-6))
 
 
 def _auto_variant(g: GraphSlice) -> str:
