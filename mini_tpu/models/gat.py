@@ -22,6 +22,7 @@ from mini_tpu.ops.engine import (
     src_vals_to_csc,
     dst_vals_to_csc,
     reduce_csc_by_dst,
+    reduce_csr_by_src,
 )
 from mini_tpu.ops.permute import expand_to_edges
 from mini_tpu.ops.spmm import spmm
@@ -37,6 +38,7 @@ def _gat_layer_banded(
     negative_slope: float,
     message_dtype,
     force: bool = False,
+    want_residuals: bool = False,
 ):
     """Banded-native attention layer (round 4, forward-only):
 
@@ -114,6 +116,8 @@ def _gat_layer_banded(
 
     dev = layout.dev()
     msgs = []
+    w_bands = []
+    pos_bands = []
     for k in range(layout.K):
         lo = k * layout.band_rows
         hi = min(lo + layout.band_rows, n_pad)
@@ -132,6 +136,9 @@ def _gat_layer_banded(
             w = jnp.where(
                 dev["valid"][k][:, None], jnp.exp(e - bound), 0.0
             )
+            if want_residuals:
+                w_bands.append(w)
+                pos_bands.append(sc + ed > 0)  # LeakyReLU' sign bits
             if message_dtype is not None:
                 xg = xg.astype(message_dtype)
             xg = (
@@ -144,10 +151,18 @@ def _gat_layer_banded(
             edge_chunk=layout.edge_chunk, interpret=not on_tpu,
         )
     heads = []
+    denoms = []
     for hd in range(H):
         blk = out[:, hd * d_pad: hd * d_pad + d]
         denom = jnp.maximum(out[:, hd * d_pad + d], 1e-30)
+        denoms.append(denom)
         heads.append(blk / denom[:, None])
+    if want_residuals:
+        return heads, {
+            "w_bands": w_bands,
+            "pos_bands": pos_bands,
+            "denom": jnp.stack(denoms, axis=-1),  # [n_pad, H]
+        }
     return heads
 
 
@@ -256,15 +271,37 @@ def _gat_fused_heads(
 _BANDED_VJP_CACHE: dict = {}
 
 
+_GAT_BANDED_BWD = "native"  # "native" (round 5) | "fused" (round-4 record)
+
+
 def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
     """custom_vjp wrapper making the banded-native attention layer
-    trainable: the forward is the Pallas-kernel banded pipeline, the
-    backward RE-DERIVES cotangents through `_gat_fused_heads` — the two
-    compute the same function of (hws, s_src, s_dst) (the gradient w.r.t.
-    a_src flows entirely through s_src = hw @ a_src, so its direct slot
-    gets a zero cotangent), matching to the pipelines' mutual fp
-    tolerance (~1e-5 f32 / ~1e-3 bf16).  Cached per (graph, config) so
-    jit retraces reuse one custom_vjp instance."""
+    trainable.
+
+    Forward: the Pallas-kernel banded pipeline, saving as residuals the
+    per-band unnormalized weights ``w``, the LeakyReLU sign bits, the
+    softmax denominators, and the normalized outputs.
+
+    Backward (round 5, ``_GAT_BANDED_BWD="native"``): hand-derived banded
+    chain — no forward recompute.  With ``q_v = ct_v / W_v`` and
+    ``r_v = <ct_v, y_v> / W_v``, the ones-column trick runs in REVERSE:
+    a dst-side matrix ``Q`` whose per-head blocks are ``[q, -r, 0]``
+    makes the banded SDDMM ``<Q_dst, h̃_u>`` emit the weight cotangent
+    ``g_w = <q, h̃> - r`` directly, and the push-direction banded SpMM of
+    ``Q`` with the saved weights emits ``g_h̃``.  The score chain
+    ``g_e = w · g_w · LReLU'`` uses the saved sign bits (no score
+    recompute), reduces to ``ds_dst`` by a scan in CSC order and
+    ``ds_src`` by a scan in CSR order (three salted multi-payload sorts
+    move w/g between orders).  The stabilizer bound's cotangent is
+    EXACTLY zero (it is a per-dst-segment constant that cancels in the
+    normalized ratio), and ``a_src``'s direct slot gets a zero cotangent
+    (its gradient flows through ``s_src = hw @ a_src`` outside).
+    Measured at rmat16 (BENCH_DETAILS r5): the round-4
+    recompute-through-fused backward cost 4.2x the forward; see the
+    gat_train rows for the native numbers.  ``"fused"`` restores the
+    round-4 recompute path (gradient-match-tested against it).  Cached
+    per (graph, config) so jit retraces reuse one custom_vjp instance
+    (concrete graphs only — a traced g must not leak, cf. engine)."""
     # cache only for concrete graphs: a traced g (train steps take g as
     # a jit argument) would leak its tracers into later retraces of the
     # same fingerprint via the cached closure (cf. engine._engine_vjp_fns)
@@ -289,12 +326,21 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
         return tuple(heads)
 
     def fwd(hws, a_src_l, s_src_l, s_dst_l):
-        return f(hws, a_src_l, s_src_l, s_dst_l), (
+        heads, aux = _gat_layer_banded(
+            g, list(hws), list(a_src_l), list(s_src_l), list(s_dst_l),
+            d, negative_slope, message_dtype, force=force,
+            want_residuals=True,
+        )
+        assert heads is not None
+        heads = tuple(heads)
+        return heads, (
             hws, a_src_l, s_src_l, s_dst_l,
+            tuple(aux["w_bands"]), tuple(aux["pos_bands"]),
+            aux["denom"], heads,
         )
 
-    def bwd(res, ct):
-        hws, a_src_l, s_src_l, s_dst_l = res
+    def _bwd_fused(res, ct):
+        hws, a_src_l, s_src_l, s_dst_l = res[:4]
 
         def fused(hws_, s_src_, s_dst_):
             return _gat_fused_heads(
@@ -305,6 +351,124 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
         _, vjp = jax.vjp(fused, hws, s_src_l, s_dst_l)
         g_hws, g_ss, g_sd = vjp(tuple(ct))
         zeros_a = tuple(jnp.zeros_like(a) for a in a_src_l)
+        return g_hws, zeros_a, g_ss, g_sd
+
+    def bwd(res, ct):
+        if _GAT_BANDED_BWD != "native":
+            return _bwd_fused(res, ct)
+        import math
+
+        from mini_tpu.graph.banded import get_layout
+        from mini_tpu.ops.spmm import _weight_cotangent, _apply_banded
+        from mini_tpu.ops.permute import apply_fixed_perm
+
+        hws, a_src_l, s_src_l, s_dst_l, w_bands, pos_bands, denom, ys = res
+        H = len(hws)
+        step = 128 // math.gcd(H, 128)
+        d_pad = -(-d // step) * step
+        F = H * d_pad
+        n_pad = hws[0].shape[0]
+        layout = get_layout(g, "pull", row_bytes=F * 4)
+        layout_b = get_layout(g, "push", row_bytes=F * 4)
+        if (
+            layout is None
+            or layout_b is None
+            or layout_b.n_pad != n_pad
+        ):
+            return _bwd_fused(res, ct)
+        dev = layout.dev()
+        interpret = jax.default_backend() != "tpu"
+        mdt = message_dtype
+
+        # q/r and Q (the ones-column trick in reverse: the ones lane
+        # carries -r, so SDDMM(<Q_dst, h~_u>) = <q, h~> - r = g_w)
+        parts = []
+        rs = []
+        for h in range(H):
+            dh = denom[:, h]
+            q = ct[h] / dh[:, None]
+            r = jnp.sum(ct[h] * ys[h], axis=-1) / dh
+            rs.append(r)
+            parts.append(q)
+            parts.append(-r[:, None])
+            if d_pad - d - 1 > 0:
+                parts.append(
+                    jnp.zeros((n_pad, d_pad - d - 1), jnp.float32)
+                )
+        Q = jnp.concatenate(parts, axis=-1)  # [n_pad, F] f32
+
+        # h~full (same construction as the forward; f32)
+        ones = jnp.ones((n_pad, 1), jnp.float32)
+        hparts = []
+        for hw in hws:
+            hparts.append(hw)
+            hparts.append(ones)
+            if d_pad - d - 1 > 0:
+                hparts.append(
+                    jnp.zeros((n_pad, d_pad - d - 1), jnp.float32)
+                )
+        hw_cat = jnp.concatenate(hparts, axis=-1)
+
+        x_sd = hw_cat if mdt is None else hw_cat.astype(mdt)
+        gw_bands = _weight_cotangent(
+            x_sd, Q, layout, "split", interpret, heads=H
+        )  # K x [mk, H] f32
+
+        # score chain entirely from residuals: g_e = w * g_w * LReLU'
+        w_cols, g_cols = [], []
+        for h in range(H):
+            w_cols.append(
+                jnp.concatenate([wb[:, h] for wb in w_bands])
+            )
+            g_cols.append(
+                jnp.concatenate(
+                    [
+                        wb[:, h]
+                        * gw[: wb.shape[0], h]
+                        * jnp.where(
+                            pb[:, h], 1.0, jnp.float32(negative_slope)
+                        )
+                        for wb, gw, pb in zip(
+                            w_bands, gw_bands, pos_bands
+                        )
+                    ]
+                )
+            )
+        # band -> CSC (one salted multi-payload sort for all 2H columns)
+        outs = apply_fixed_perm(dev["inv_rank"], *(w_cols + g_cols))
+        m_pad = int(g.m_pad)
+        w_csc = [o[:m_pad] for o in outs[:H]]
+        g_csc = [o[:m_pad] for o in outs[H:]]
+        ds_dst = reduce_csc_by_dst(
+            g, jnp.stack(g_csc, axis=-1), "sum"
+        )  # [n_pad, H]
+        # CSC -> CSR (two sorts: csc_eids is NOT a valid permutation over
+        # pad edges — cf. ops/spmm.py — so build the true inverse rank
+        # from csr_to_csc_rank first): weights for the push SpMM + g for
+        # ds_src
+        csc_to_csr_rank = apply_fixed_perm(
+            g.csr_to_csc_rank, jnp.arange(m_pad, dtype=jnp.int32)
+        )
+        outs2 = apply_fixed_perm(csc_to_csr_rank, *(w_csc + g_csc))
+        w_csr = outs2[:H]
+        g_csr = outs2[H:]
+        ds_src = reduce_csr_by_src(
+            g, jnp.stack(g_csr, axis=-1), "sum"
+        )
+        # g_h~ = push-banded SpMM of Q with the saved weights (one more
+        # sort moves w into the push layout's band order)
+        w_push = tuple(layout_b.permute_to_bands_multi(*w_csr))
+        go_sd = Q if mdt is None else Q.astype(mdt)
+        gx = _apply_banded(
+            go_sd, layout_b, w_push, "split", interpret, heads=H
+        ).astype(jnp.float32)
+
+        g_hws = tuple(
+            gx[:, h * d_pad: h * d_pad + d] for h in range(H)
+        )
+        zeros_a = tuple(jnp.zeros_like(a) for a in a_src_l)
+        g_ss = tuple(ds_src[:, h] for h in range(H))
+        g_sd = tuple(ds_dst[:, h] for h in range(H))
         return g_hws, zeros_a, g_ss, g_sd
 
     f.defvjp(fwd, bwd)

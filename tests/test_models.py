@@ -135,8 +135,40 @@ def test_gat_banded_grads_match_fused():
     gf = jax.grad(lambda p: loss(p, "fused"))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gb),
                     jax.tree_util.tree_leaves(gf)):
+        # round 5: the banded path's NATIVE backward computes the same
+        # analytic gradient through a different op order (and drops the
+        # bound's exactly-cancelling terms), so tolerance covers fp
+        # reassociation, not algorithmic drift
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5
+        )
+
+
+def test_gat_banded_native_bwd_matches_fused_recompute_bwd():
+    # the round-5 native banded backward vs the round-4
+    # recompute-through-fused backward on the SAME forward
+    from mini_tpu.models import gat as gat_mod
+
+    hg, gs, x = _setup(seed=7)
+    params = gat_init(jax.random.PRNGKey(8), [8, 16, 3], heads=2)
+
+    def loss(p):
+        out = gat_forward(p, gs, x, attn="banded")
+        return jnp.sum(out[: hg.n] ** 2)
+
+    try:
+        gat_mod._GAT_BANDED_BWD = "native"
+        gn = jax.grad(loss)(params)
+        gat_mod._GAT_BANDED_BWD = "fused"
+        gat_mod._BANDED_VJP_CACHE.clear()
+        gf = jax.grad(loss)(params)
+    finally:
+        gat_mod._GAT_BANDED_BWD = "native"
+        gat_mod._BANDED_VJP_CACHE.clear()
+    for a, b in zip(jax.tree_util.tree_leaves(gn),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5
         )
 
 
