@@ -461,6 +461,14 @@ def main():
             ("gat_train_fused_f32", "gat", {"attn": "fused",
                                             "message_dtype": None}),
         ]
+        if SCALE >= 18:
+            # GAT train transients (banded gathers live across the
+            # SDDMM + push-SpMM backward stages, ~4.3 GB each f32 at
+            # s18) exceed HBM alongside this process's resident bench
+            # arrays; bf16 fits in a FRESH process (measured 1004.6 ms
+            # at s18 — scratch/probe_gat_train_tpu.py) but not here.
+            # GCN train rows survive to s19.
+            train_rows = [r for r in train_rows if r[1] != "gat"]
         if SCALE >= 20:  # f32 message streams exceed HBM (see above)
             train_rows = [
                 r for r in train_rows
