@@ -32,6 +32,7 @@ from mini_tpu.ops.engine import (
     reduce_csc_by_dst,
 )
 from mini_tpu.ops.sparse import (
+    relax_and_chain,
     compact_frontier,
     expand_frontier,
     frontier_edge_count,
@@ -49,6 +50,10 @@ class SsspResult:
     sparse_overflowed: jnp.ndarray  # bool: any sparse tier dropped work
     # (must stay False under the capacity-fit tier selection; cf. the
     # reference's exit-on-overflow, `frontier.hxx:85-93`)
+    num_chained_iterations: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.int32(0)
+    )  # int32: sparse rounds that rode the compact chain (delta variant;
+    # diagnostic for the round-5 indices->indices reentry path)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -192,10 +197,10 @@ def _sssp_impl(
     return _finish(g, dist, src, it, sparses, ovf, with_preds)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _sssp_delta_impl(
     g: GraphSlice, src, max_iter: int, capv: int, cape: int, delta: float,
-    with_preds: bool = True,
+    with_preds: bool = True, chain_cap: int = 0,
 ):
     """Delta-stepping SSSP (opt-in ``sssp(variant="delta")``).
 
@@ -207,7 +212,22 @@ def _sssp_delta_impl(
     (O(cape)) instead of the weighted Bellman-Ford's O(m) dense sweeps —
     the round-structure cost BASELINE.md shows is binding at s19.  The
     fixpoint is the same exact f32 shortest-distance solution, so
-    results stay bitwise-equal to the Dijkstra oracle."""
+    results stay bitwise-equal to the Dijkstra oracle.
+
+    Round-5 "compact chaining": light-edge reentry rounds — the vast
+    majority on the target family — run CHAINED: the next compact
+    frontier is derived straight from the O(chain_cap) relaxed-edge
+    arrays (`ops/sparse.relax_and_chain`), and the pending bitmap
+    is maintained by two bounded scatters (clear the expanded actives,
+    set the improved dsts) — skipping the O(n) bitmap top_k + fe/fl
+    scans + elementwise update that were the measured ~3 ms/round
+    floor at n=524k.  Bucket boundaries and chain overflows fall back
+    to the bitmap path (one O(n) round per bucket).  ``chain_cap=0``
+    disables chaining (pure round-4 bitmap rounds).  A rejected
+    alternative: replacing the bitmap with an implicit
+    ``pending(v) == dist[v] < rel[v]`` lazy-deletion array made BITMAP
+    rounds pay an O(capv) gather+scatter each and measured 6.8 s vs
+    4.8 s on grid-724 — the bitmap stays."""
     n_pad = g.n_pad
     inf = jnp.float32(jnp.inf)
     dlt = jnp.float32(delta)
@@ -216,55 +236,55 @@ def _sssp_delta_impl(
     pending0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
 
     tiers = default_tiers(g, capv, cape) if cape > 1 else []
+    ccap = int(chain_cap) if tiers else 0
 
-    def relax(dist, frontier):
-        """One relax of ``frontier`` through the tier machinery; returns
-        (dist2, improved, ovf, used_sparse)."""
-        fe = frontier_edge_count(g, frontier)
-        fl = jnp.sum(frontier, dtype=jnp.int32)
-
-        def dense(ops):
-            d_, f_ = ops
-            dm = jnp.where(f_, d_, inf)
-            cand = jnp.where(
-                g.edge_mask_csc,
-                src_vals_to_csc(g, dm) + g.csc_weights, inf,
-            )
-            best = reduce_csc_by_dst(g, cand, "min")
-            improved = best < d_
-            return jnp.minimum(d_, best), improved, jnp.bool_(False)
-
-        def make_sparse(cv, ce):
-            def sp(ops):
-                d_, f_ = ops
-                idx, cnt, v_ovf = compact_frontier(f_, cv)
-                esrc, edst, eid, valid, total = expand_frontier(
-                    g, idx, cnt, ce
-                )
-                cand = d_[esrc] + g.csr_weights[eid]
-                dstw = jnp.where(valid, edst, n_pad)
-                ext = jnp.concatenate([d_, jnp.full(1, inf)])
-                d2 = ext.at[dstw].min(
-                    jnp.where(valid, cand, inf), mode="drop"
-                )[:n_pad]
-                return d2, d2 < d_, v_ovf | (total > ce)
-
-            return sp
-
-        branches = [make_sparse(cv, ce) for cv, ce in tiers] + [dense]
-        tier_idx = jnp.int32(len(tiers))
-        for i in reversed(range(len(tiers))):
-            cv, ce = tiers[i]
-            tier_idx = jnp.where(
-                (fe <= ce) & (fl <= cv), jnp.int32(i), tier_idx
-            )
-        d2, improved, ovf = jax.lax.switch(
-            tier_idx, branches, (dist, frontier)
+    def relax_plain(dist, idx, cnt, exp_cape):
+        """Plain bounded relax (chaining disabled): expand + scatter-min."""
+        esrc, edst, eid, valid, total = expand_frontier(
+            g, idx, cnt, exp_cape
         )
-        return d2, improved, ovf, tier_idx < len(tiers)
+        cand = dist[esrc] + g.csr_weights[eid]
+        dstw = jnp.where(valid, edst, n_pad)
+        ext = jnp.concatenate([dist, jnp.full(1, inf)])
+        d2 = ext.at[dstw].min(
+            jnp.where(valid, cand, inf), mode="drop"
+        )[:n_pad]
+        return d2, total > exp_cape
 
-    def step(state):
-        dist, pending, B, it, sparses, ovf = state
+    no_chain = (
+        jnp.zeros(max(ccap, 1), jnp.int32), jnp.int32(0), jnp.bool_(False)
+    )
+
+    def chained_step(state):
+        """Reentry round riding the chained compact frontier: all of
+        pending ∩ {dist < B} is exactly ``nidx[:ncnt]`` (established by
+        whoever derived the chain), so every term is O(chain_cap)."""
+        dist, pending, B, it, sparses, ovf, nidx, ncnt, nok, chained = state
+        d2, sdst, imp_first, cidx, ccnt, cfe, cok, e_ovf = relax_and_chain(
+            g, dist, g.csr_weights, nidx, ncnt, ccap, ccap, bound=B
+        )
+        # bounded bitmap maintenance: expanded actives leave pending,
+        # improved dsts (re)enter — ORDER matters (an active improved
+        # again stays pending); imp_first is already deduped
+        act_w = jnp.where(
+            jnp.arange(ccap) < ncnt, nidx, jnp.int32(n_pad)
+        )
+        p1 = pending.at[act_w].set(False, mode="drop")
+        p2 = p1.at[jnp.where(imp_first, sdst, jnp.int32(n_pad))].set(
+            True, mode="drop"
+        )
+        cok = cok & (cfe <= ccap)
+        return (
+            d2, p2, B, it + 1, sparses + 1, ovf | e_ovf,
+            cidx, ccnt, cok, chained + 1,
+        )
+
+    def bitmap_step(state):
+        """Bucket-boundary / fallback round (the round-4 recipe):
+        advance B when the bucket drained, relax through the tier
+        machinery, update pending elementwise, and (re)enter chained
+        mode when the sparse tier ran and its chain fits."""
+        dist, pending, B, it, sparses, ovf, _, _, _, chained = state
         active = pending & (dist < B)
         has_active = jnp.any(active)
         # bucket drained: advance B to the next pending bucket boundary
@@ -279,37 +299,85 @@ def _sssp_delta_impl(
         B = jnp.where(has_active, B, B_next)
         active = pending & (dist < B)
 
-        dist2, improved, step_ovf, used_sparse = relax(dist, active)
+        fe = frontier_edge_count(g, active)
+        fl = jnp.sum(active, dtype=jnp.int32)
+
+        def dense(ops):
+            d_, f_ = ops
+            dm = jnp.where(f_, d_, inf)
+            cand = jnp.where(
+                g.edge_mask_csc,
+                src_vals_to_csc(g, dm) + g.csc_weights, inf,
+            )
+            best = reduce_csc_by_dst(g, cand, "min")
+            d2 = jnp.minimum(d_, best)
+            return (d2, jnp.bool_(False)) + no_chain
+
+        def make_sparse(cv, ce):
+            def sp(ops):
+                d_, f_ = ops
+                idx, cnt, v_ovf = compact_frontier(f_, cv)
+                if ccap == 0:
+                    d2, e_ovf = relax_plain(d_, idx, cnt, ce)
+                    return (d2, v_ovf | e_ovf) + no_chain
+                d2, _, _, cidx, ccnt, cfe, cok, e_ovf = relax_and_chain(
+                    g, d_, g.csr_weights, idx, cnt, ce, ccap, bound=B
+                )
+                cok = cok & (cfe <= ccap)
+                return d2, v_ovf | e_ovf, cidx, ccnt, cok
+
+            return sp
+
+        branches = [make_sparse(cv, ce) for cv, ce in tiers] + [dense]
+        tier_idx = jnp.int32(len(tiers))
+        for i in reversed(range(len(tiers))):
+            cv, ce = tiers[i]
+            tier_idx = jnp.where(
+                (fe <= ce) & (fl <= cv), jnp.int32(i), tier_idx
+            )
+        d2, step_ovf, cidx, ccnt, cok = jax.lax.switch(
+            tier_idx, branches, (dist, active)
+        )
         # settled vertices of this bucket leave pending; improvements
         # (re)enter — a vertex improved into the CURRENT bucket is
         # re-processed next round (light-edge reentry), one improved
         # past B waits for its bucket
-        pending = (pending & ~active) | improved
+        pending = (pending & ~active) | (d2 < dist)
+        used_sparse = tier_idx < len(tiers)
         return (
-            dist2, pending, B, it + 1,
+            d2, pending, B, it + 1,
             sparses + used_sparse.astype(jnp.int32), ovf | step_ovf,
+            cidx, ccnt, cok, chained,
         )
 
+    if ccap > 0:
+        def step(state):
+            return jax.lax.cond(state[8], chained_step, bitmap_step, state)
+    else:
+        step = bitmap_step
+
     def cond(state):
-        _, pending, _, it, _, _ = state
+        _, pending, _, it = state[0], state[1], state[2], state[3]
         return jnp.any(pending) & (it < max_iter)
 
-    dist, _, _, it, sparses, ovf = jax.lax.while_loop(
-        cond, step,
-        (dist0, pending0, dlt, jnp.int32(0), jnp.int32(0),
-         jnp.bool_(False)),
-    )
-    return _finish(g, dist, src, it, sparses, ovf, with_preds)
+    state = (
+        dist0, pending0, dlt, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+    ) + no_chain + (jnp.int32(0),)
+    out = jax.lax.while_loop(cond, step, state)
+    dist, it, sparses, ovf = out[0], out[3], out[4], out[5]
+    return _finish(g, dist, src, it, sparses, ovf, with_preds, out[9])
 
 
-def _finish(g, dist, src, it, sparses, ovf, with_preds: bool = True):
+def _finish(g, dist, src, it, sparses, ovf, with_preds: bool = True,
+            chained=None):
     INT_MAX = jnp.iinfo(jnp.int32).max
+    chained = jnp.int32(0) if chained is None else chained
     if not with_preds:
         # ``with_preds=False`` (batch sweeps that only need distances)
         # skips the pred post-pass — two payload sorts + a reduce per
         # source (same rationale as bfs._bfs_impl's flag)
         preds = jnp.full(g.n_pad, -1, jnp.int32)
-        return SsspResult(dist, preds, it, sparses, ovf)
+        return SsspResult(dist, preds, it, sparses, ovf, chained)
     # predecessors in one post-pass: pred[v] = min{u : dist[u]+w == dist[v]}
     # (f32 sums recomputed identically to the relax step -> bitwise match)
     d_src = src_vals_to_csc(g, dist)
@@ -326,7 +394,7 @@ def _finish(g, dist, src, it, sparses, ovf, with_preds: bool = True):
         jnp.isfinite(dist) & (pred_min != INT_MAX), pred_min, -1
     ).astype(jnp.int32)
     preds = preds.at[src].set(-1)
-    return SsspResult(dist, preds, it, sparses, ovf)
+    return SsspResult(dist, preds, it, sparses, ovf, chained)
 
 
 def sssp(
@@ -339,6 +407,7 @@ def sssp(
     variant: str = "bellman",
     delta: float | None = None,
     with_preds: bool = True,
+    chain_cap: int | None = None,
 ) -> SsspResult:
     """``variant="delta"`` runs delta-stepping (bucketed frontiers that
     ride the sparse tiers — see ``_sssp_delta_impl``); ``delta`` is the
@@ -347,7 +416,9 @@ def sssp(
     round count is large (high-diameter weighted graphs — grids, road
     networks, meshes) and Bellman-Ford otherwise; see
     :func:`_auto_variant`.  ``with_preds=False`` skips the predecessor
-    post-pass (two payload sorts + a reduce)."""
+    post-pass (two payload sorts + a reduce).  ``chain_cap`` bounds the
+    compact-chained reentry rounds of the delta variant (0 disables
+    chaining; None = measured default, see :func:`_default_chain_cap`)."""
     if max_iter is None:
         max_iter = g.n_pad  # Bellman-Ford converges in <= n-1 rounds
     # 0 disables the sparse path; None lets ops/sparse.default_tiers pick
@@ -376,9 +447,12 @@ def sssp(
         variant = _auto_variant(g)
     if variant == "delta":
         delta = _default_delta(g) if delta is None else delta
+        if chain_cap is None:
+            chain_cap = _default_chain_cap(g, int(sparse_cape))
         return _sssp_delta_impl(
             g, jnp.asarray(src), int(max_iter), int(sparse_capv),
             int(sparse_cape), float(delta), bool(with_preds),
+            int(chain_cap),
         )
     if variant != "bellman":
         raise ValueError(f"unknown variant {variant!r}")
@@ -386,6 +460,19 @@ def sssp(
         g, jnp.asarray(src), int(max_iter), int(sparse_capv),
         int(sparse_cape), int(sync_cape), bool(with_preds),
     )
+
+
+def _default_chain_cap(g: GraphSlice, sparse_cape: int) -> int:
+    """Capacity of the chained reentry rounds (round 5).
+
+    Chained rounds cost O(chain_cap) in every term (sort, top_k,
+    gathers, scatters), so smaller is faster — but a chain whose
+    frontier outgrows it falls back to an O(n)-floor bitmap round.
+    Light-edge reentry frontiers on the target family (grids, meshes)
+    are far smaller than the bitmap tier's m/64, so the default sits a
+    factor 4 below it, floored at 4096 to keep the fixed per-op
+    overheads amortized (sweep: scratch/bench_sssp_delta.py)."""
+    return int(min(sparse_cape, max(4096, g.m_pad // 256)))
 
 
 def _default_delta(g: GraphSlice) -> float:
@@ -442,11 +529,13 @@ def _sssp_batch_impl(g, srcs, max_iter, capv, cape, sync_cape, with_preds):
     return res
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _sssp_batch_delta_impl(g, srcs, max_iter, capv, cape, delta, with_preds):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _sssp_batch_delta_impl(
+    g, srcs, max_iter, capv, cape, delta, with_preds, chain_cap
+):
     def body(_, s):
         return None, _sssp_delta_impl(
-            g, s, max_iter, capv, cape, delta, with_preds
+            g, s, max_iter, capv, cape, delta, with_preds, chain_cap
         )
 
     _, res = jax.lax.scan(body, None, srcs)
@@ -463,6 +552,7 @@ def sssp_batch(
     variant: str = "bellman",
     delta: float | None = None,
     with_preds: bool = True,
+    chain_cap: int | None = None,
 ) -> SsspResult:
     """Multi-source SSSP in one jitted ``lax.scan`` over sources — the
     dispatch-amortized batch form (see :func:`mini_tpu.algorithms.bfs.
@@ -483,9 +573,11 @@ def sssp_batch(
         variant = _auto_variant(g)
     if variant == "delta":
         delta = _default_delta(g) if delta is None else delta
+        if chain_cap is None:
+            chain_cap = _default_chain_cap(g, int(sparse_cape))
         return _sssp_batch_delta_impl(
             g, srcs, int(max_iter), int(sparse_capv), int(sparse_cape),
-            float(delta), bool(with_preds),
+            float(delta), bool(with_preds), int(chain_cap),
         )
     if variant != "bellman":
         raise ValueError(f"unknown variant {variant!r}")

@@ -397,6 +397,62 @@ def register_host_graph(fingerprint: str, host_arrays: dict) -> None:
         del _LAYOUT_CACHE[k]
 
 
+_COMPOSITE_CACHE: OrderedDict = OrderedDict()  # layout-pair -> jnp rank
+
+
+def get_pull_to_push_rank(g, pull: "BandedLayout", push: "BandedLayout"):
+    """Composite static rank: flat pull-band slot -> flat push-band slot
+    of the SAME edge (round 5).
+
+    Collapses the GAT native backward's band->CSC->CSR->band sort chain
+    (4 salted multi-payload sorts) into ONE: pull slot -> csc position
+    (pull.banded_rank inverse) -> csr position (host csr_to_csc_rank
+    inverse) -> push slot (push.banded_rank), composed host-side once
+    per layout pair.  Pad slots map bijectively onto push pad slots, so
+    zero-padded pull streams emerge as zero-padded push streams.
+
+    Returns an int32 device array of length ``max(total_pull,
+    total_push)``; apply to inputs padded to that length and slice the
+    result to ``push.total_padded``.  None when the host arrays for
+    this graph are unknown."""
+    fp = getattr(g, "fingerprint", None)
+    if fp is None or fp not in _HOST_CACHE:
+        return None
+    h = _HOST_CACHE[fp]
+    if "csr_to_csc_rank" not in h:
+        return None
+    key = (
+        fp, "p2p", pull.band_rows, pull.edge_chunk,
+        push.band_rows, push.edge_chunk,
+    )
+    if key in _COMPOSITE_CACHE:
+        _lru_touch(_COMPOSITE_CACHE, key, 16)
+        return _COMPOSITE_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    m_pad = pull.m_pad
+    assert push.m_pad == m_pad
+    csr_to_csc = np.asarray(h["csr_to_csc_rank"], np.int64)
+    n_total = max(pull.total_padded, push.total_padded)
+    comp = np.full(n_total, -1, np.int64)
+    pull_rank = np.asarray(pull.banded_rank, np.int64)
+    push_rank = np.asarray(push.banded_rank, np.int64)
+    # csr edge i: lives at pull slot pull_rank[csr_to_csc[i]] and push
+    # slot push_rank[i]
+    comp[pull_rank[:m_pad][csr_to_csc]] = push_rank[:m_pad]
+    used = np.zeros(n_total, bool)
+    used[push_rank[:m_pad]] = True
+    free = np.nonzero(~used)[0]
+    hole = comp < 0
+    comp[hole] = free  # both are exactly the n_total - m_pad pad slots
+    with jax.ensure_compile_time_eval():
+        arr = jnp.asarray(comp.astype(np.int32))
+    _COMPOSITE_CACHE[key] = arr
+    _lru_touch(_COMPOSITE_CACHE, key, 16)
+    return arr
+
+
 def get_layout(
     g, direction: str = "pull", row_bytes: int = 512,
     edge_chunk: int = EDGE_CHUNK,

@@ -285,6 +285,10 @@ class GraphSlice:
                 csc_dsts=arrays["csc_dsts"],
                 csc_weights=arrays["csc_weights"],
                 edge_mask=arrays["edge_mask"],
+                # host copy of the CSR->CSC rank: lets banded layout
+                # PAIRS compose their permutations statically (round 5,
+                # graph/banded.get_pull_to_push_rank)
+                csr_to_csc_rank=arrays["csr_to_csc_rank"],
             ),
         )
 

@@ -22,7 +22,6 @@ from mini_tpu.ops.engine import (
     src_vals_to_csc,
     dst_vals_to_csc,
     reduce_csc_by_dst,
-    reduce_csr_by_src,
 )
 from mini_tpu.ops.permute import expand_to_edges
 from mini_tpu.ops.spmm import spmm
@@ -290,9 +289,12 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
     ``g_w = <q, h̃> - r`` directly, and the push-direction banded SpMM of
     ``Q`` with the saved weights emits ``g_h̃``.  The score chain
     ``g_e = w · g_w · LReLU'`` uses the saved sign bits (no score
-    recompute), reduces to ``ds_dst`` by a scan in CSC order and
-    ``ds_src`` by a scan in CSR order (three salted multi-payload sorts
-    move w/g between orders).  The stabilizer bound's cotangent is
+    recompute); ``ds_dst`` reduces straight off the pull bands and
+    ``ds_src`` off the push bands (per-band contiguous segment scans,
+    `ops/spmm.banded_heads_segment_sum`), with ONE precomputed
+    pull-band→push-band composite sort moving w and g between layouts
+    (`graph/banded.get_pull_to_push_rank` — collapses the earlier
+    band→CSC→CSR→band chain of 4 sorts).  The stabilizer bound's cotangent is
     EXACTLY zero (it is a per-dst-segment constant that cancels in the
     normalized ratio), and ``a_src``'s direct slot gets a zero cotangent
     (its gradient flows through ``s_src = hw @ a_src`` outside).
@@ -358,8 +360,10 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
             return _bwd_fused(res, ct)
         import math
 
-        from mini_tpu.graph.banded import get_layout
-        from mini_tpu.ops.spmm import _weight_cotangent, _apply_banded
+        from mini_tpu.graph.banded import get_layout, get_pull_to_push_rank
+        from mini_tpu.ops.spmm import (
+            _weight_cotangent, _apply_banded, banded_heads_segment_sum,
+        )
         from mini_tpu.ops.permute import apply_fixed_perm
 
         hws, a_src_l, s_src_l, s_dst_l, w_bands, pos_bands, denom, ys = res
@@ -370,10 +374,16 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
         n_pad = hws[0].shape[0]
         layout = get_layout(g, "pull", row_bytes=F * 4)
         layout_b = get_layout(g, "push", row_bytes=F * 4)
+        comp = (
+            None
+            if layout is None or layout_b is None
+            else get_pull_to_push_rank(g, layout, layout_b)
+        )
         if (
             layout is None
             or layout_b is None
             or layout_b.n_pad != n_pad
+            or comp is None
         ):
             return _bwd_fused(res, ct)
         dev = layout.dev()
@@ -414,50 +424,56 @@ def _make_banded_layer_fn(g, d, negative_slope, message_dtype, force):
             x_sd, Q, layout, "split", interpret, heads=H
         )  # K x [mk, H] f32
 
-        # score chain entirely from residuals: g_e = w * g_w * LReLU'
-        w_cols, g_cols = [], []
-        for h in range(H):
-            w_cols.append(
-                jnp.concatenate([wb[:, h] for wb in w_bands])
-            )
-            g_cols.append(
-                jnp.concatenate(
-                    [
-                        wb[:, h]
-                        * gw[: wb.shape[0], h]
-                        * jnp.where(
-                            pb[:, h], 1.0, jnp.float32(negative_slope)
-                        )
-                        for wb, gw, pb in zip(
-                            w_bands, gw_bands, pos_bands
-                        )
-                    ]
-                )
-            )
-        # band -> CSC (one salted multi-payload sort for all 2H columns)
-        outs = apply_fixed_perm(dev["inv_rank"], *(w_cols + g_cols))
-        m_pad = int(g.m_pad)
-        w_csc = [o[:m_pad] for o in outs[:H]]
-        g_csc = [o[:m_pad] for o in outs[H:]]
-        ds_dst = reduce_csc_by_dst(
-            g, jnp.stack(g_csc, axis=-1), "sum"
+        # score chain entirely from residuals, per band: g_e = w * g_w *
+        # LReLU' (saved sign bits; no score recompute)
+        slope = jnp.float32(negative_slope)
+        g_bands = [
+            wb * gw[: wb.shape[0]] * jnp.where(pb, 1.0, slope)
+            for wb, gw, pb in zip(w_bands, gw_bands, pos_bands)
+        ]  # K x [mk, H] f32
+
+        # ds_dst straight off the pull bands — their segments are
+        # contiguous per band, so the per-dst f32 sums need NO sort
+        ds_dst = banded_heads_segment_sum(
+            layout, g_bands, g.max_in_degree
         )  # [n_pad, H]
-        # CSC -> CSR (two sorts: csc_eids is NOT a valid permutation over
-        # pad edges — cf. ops/spmm.py — so build the true inverse rank
-        # from csr_to_csc_rank first): weights for the push SpMM + g for
-        # ds_src
-        csc_to_csr_rank = apply_fixed_perm(
-            g.csr_to_csc_rank, jnp.arange(m_pad, dtype=jnp.int32)
+
+        # ONE composite sort (round 5, replacing the round-5-early
+        # band->CSC->CSR->band chain of 4 salted sorts): the precomputed
+        # pull-band -> push-band rank moves w and g in one multi-payload
+        # sort.  Ghost/pad slots are zeroed first so they emerge as
+        # kernel no-ops in the push stream.
+        valid_flat = jnp.concatenate(list(dev["valid"]))[:, None]
+        wflat = jnp.where(valid_flat, jnp.concatenate(list(w_bands)), 0.0)
+        gflat = jnp.where(valid_flat, jnp.concatenate(g_bands), 0.0)
+        t_pull = wflat.shape[0]
+        n_comp = comp.shape[0]
+
+        def _pad_comp(c):
+            if n_comp == t_pull:
+                return c
+            return jnp.concatenate(
+                [c, jnp.zeros(n_comp - t_pull, c.dtype)]
+            )
+
+        cols = [_pad_comp(wflat[:, h]) for h in range(H)] + [
+            _pad_comp(gflat[:, h]) for h in range(H)
+        ]
+        outs = apply_fixed_perm(comp, *cols)
+        t_push = layout_b.total_padded
+        w_push = tuple(
+            layout_b._split_bands(jnp.stack(outs[:H], axis=-1)[:t_push])
         )
-        outs2 = apply_fixed_perm(csc_to_csr_rank, *(w_csc + g_csc))
-        w_csr = outs2[:H]
-        g_csr = outs2[H:]
-        ds_src = reduce_csr_by_src(
-            g, jnp.stack(g_csr, axis=-1), "sum"
+        g_push = list(
+            layout_b._split_bands(jnp.stack(outs[H:], axis=-1)[:t_push])
         )
-        # g_h~ = push-banded SpMM of Q with the saved weights (one more
-        # sort moves w into the push layout's band order)
-        w_push = tuple(layout_b.permute_to_bands_multi(*w_csr))
+
+        # ds_src straight off the push bands (segments = src)
+        ds_src = banded_heads_segment_sum(
+            layout_b, g_push, g.max_out_degree
+        )
+
+        # g_h~ = push-banded SpMM of Q with the saved weights
         go_sd = Q if mdt is None else Q.astype(mdt)
         gx = _apply_banded(
             go_sd, layout_b, w_push, "split", interpret, heads=H

@@ -78,6 +78,120 @@ def compact_frontier(mask: jnp.ndarray, capv: int):
     return idx, jnp.minimum(count, capv), count > capv
 
 
+def relax_and_chain(
+    g: GraphSlice,
+    dist: jnp.ndarray,  # float32[n_pad]
+    weights: jnp.ndarray,  # float32[m_pad] CSR-ordered edge weights
+    idx: jnp.ndarray,  # int32[capv] compact frontier (deduped, real ids)
+    cnt: jnp.ndarray,  # int32
+    cape: int,  # expansion capacity (caller guarantees fit)
+    capv_next: int,  # capacity of the derived next frontier
+    bound=None,  # optional f32 scalar: chain only dsts with d2 < bound
+):
+    """One fused sparse SSSP round: expand+relax the compact frontier
+    AND derive the next compact frontier from the same cape-sized
+    arrays — indices->indices, no bitmap round-trip (round 5 "compact
+    chaining").
+
+    The measured ~3 ms/round floor of a bitmap sparse round at n=524k
+    is the O(n) bitmap ``top_k`` + fe/fl scans; chaining replaces them
+    with O(cape) work.  The chained round itself is gather-bound
+    (~0.1 us/slot aggregate in the first cut), so this fused form keeps
+    the big-table random accesses to the essential four — ``csr_dsts``
+    and ``weights`` at eid, ``dist`` at src, ``dist`` at the deduped
+    dsts: row offsets/degrees broadcast from the capv-sized frontier
+    table, and the improved-dst detection rides a TWO-KEY sort
+    ``(dst, cand)`` whose per-dst head is the relax minimum (no
+    ``d2[edst]``/``dist[edst]`` gathers at all).
+
+    Returns ``(d2, sdst, imp_first, next_idx, next_cnt, next_fe,
+    next_ok, ovf)``:
+
+    * ``d2`` — post-relax distances (bitwise equal to the scatter-min
+      of all candidates; f32 min is exact and order-independent);
+    * ``sdst``/``imp_first`` — cape-sized sorted dst array + mask of
+      each improved dst's first slot (for bounded pending updates);
+    * ``next_*`` — the chained frontier: deduped improved dsts (with
+      ``d2 < bound`` when given), its size, its total out-degree, and
+      whether it is usable (non-empty and nothing dropped — on
+      overflow callers fall back to the bitmap path; the frontier is
+      never silently truncated);
+    * ``ovf`` — expansion overflow (must stay False under the caller's
+      capacity-fit selection).
+    """
+    n_pad = g.n_pad
+    m_pad = g.m_pad
+    capv = idx.shape[0]
+    inf = jnp.float32(jnp.inf)
+    k = min(capv_next, cape)
+
+    in_range = jnp.arange(capv) < cnt
+    idxs = jnp.where(in_range, idx, 0)
+    ro = g.row_offsets[idxs].astype(jnp.int32)  # capv-sized gathers
+    degs = jnp.where(in_range, g.out_degrees[idxs], 0)
+    pos = exclusive_cumsum(degs)
+    total = pos[-1] + degs[-1]
+
+    # merge-path assignment (cf. expand_frontier): scatter a +1 at each
+    # vertex's start offset and prefix-sum
+    starts = jnp.where(in_range, jnp.clip(pos, 0, cape), cape)
+    hist = jnp.zeros(cape + 1, jnp.int32).at[starts].add(1, mode="drop")
+    vslot = jnp.cumsum(hist[:cape]) - 1
+    vslot = jnp.clip(vslot, 0, capv - 1)
+
+    slots = jnp.arange(cape, dtype=jnp.int32)
+    # src/offset/degree all come from the capv-sized tables via vslot
+    # (small-table gathers are ~2x cheaper than n-sized ones)
+    src = idxs[vslot]
+    rank = slots - pos[vslot]
+    eid = jnp.clip(ro[vslot] + rank, 0, m_pad - 1)
+    valid = (slots < total) & (rank >= 0) & (rank < degs[vslot])
+    dst = g.csr_dsts[eid]  # essential big-table gathers: dst, w, dist
+    cand = dist[src] + weights[eid]
+
+    dstw = jnp.where(valid, dst, n_pad)
+    d2 = (
+        jnp.concatenate([dist, jnp.full(1, inf)])
+        .at[dstw]
+        .min(jnp.where(valid, cand, inf), mode="drop")[:n_pad]
+    )
+
+    # two-key sort: per-dst relax minimum arrives at each dst's first
+    # slot; invalid slots sink to the tail
+    sdst, scand = jax.lax.sort(
+        (dstw, jnp.where(valid, cand, inf)), num_keys=2
+    )
+    prev = jnp.concatenate([jnp.full(1, -1, sdst.dtype), sdst[:-1]])
+    first = (sdst != prev) & (sdst < n_pad)
+    dold = dist[jnp.where(first, sdst, 0)]
+    imp_first = first & (scand < dold)
+    keep = imp_first
+    if bound is not None:
+        keep = keep & (jnp.minimum(scand, dold) < bound)
+
+    vals = jnp.where(
+        keep, jnp.int32(cape) - slots, jnp.int32(0)
+    )
+    top, _ = jax.lax.top_k(vals, k)
+    tpos = jnp.where(top > 0, jnp.int32(cape) - top, 0)
+    nidx = jnp.where(top > 0, sdst[tpos], 0)
+    if k < capv_next:
+        nidx = jnp.concatenate(
+            [nidx, jnp.zeros(capv_next - k, jnp.int32)]
+        )
+    ncnt = jnp.sum(keep.astype(jnp.int32))
+    ndegs = jnp.where(
+        jnp.arange(capv_next) < jnp.minimum(ncnt, k),
+        g.out_degrees[nidx], 0,
+    )
+    nfe = jnp.sum(ndegs, dtype=jnp.int32)
+    nok = (ncnt <= k) & (ncnt > 0)
+    return (
+        d2, sdst, imp_first, nidx, jnp.minimum(ncnt, k), nfe, nok,
+        total > cape,
+    )
+
+
 def expand_frontier(
     g: GraphSlice,
     indices: jnp.ndarray,  # int32[capv]

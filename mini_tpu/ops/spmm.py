@@ -243,6 +243,37 @@ def _weight_cotangent(x, go, layout: BandedLayout, precision, interpret,
     )
 
 
+def banded_heads_segment_sum(
+    layout: BandedLayout,
+    bands: Sequence[jnp.ndarray],  # K x [mk, H] f32, this layout's order
+    max_seg_len: int,
+) -> jnp.ndarray:
+    """Per-segment f32 sums of banded per-edge columns -> [n_pad, H].
+
+    Each band's stream is segment-contiguous (``layout.offsets[k]``), so
+    the reduce is the engine's Hillis-Steele segmented scan run per band
+    and summed across bands — NO permute sort (round 5: lets the GAT
+    native backward take ds_dst straight off the pull bands and ds_src
+    straight off the composite-permuted push bands).  Band pad slots
+    carry zeros and lie past the last segment end, so they never
+    contribute.  ``max_seg_len`` bounds the scan depth (in-degree for
+    pull layouts, out-degree for push)."""
+    from mini_tpu.ops.permute import expand_to_edges, segmented_scan_reduce
+
+    dev = layout.dev()
+    n_pad = layout.n_pad
+    seg_src = jnp.arange(n_pad, dtype=jnp.int32)
+    out = None
+    for k, b in enumerate(bands):
+        off = dev["offsets"][k]
+        seg = expand_to_edges(seg_src, off, b.shape[0])
+        r = segmented_scan_reduce(
+            b, seg, off, "sum", jnp.float32(0.0), max_seg_len=max_seg_len
+        )
+        out = r if out is None else out + r
+    return out
+
+
 def _make_diff_fn(layout_f: BandedLayout, layout_b, precision, interpret,
                   heads: int = 1):
     """custom_vjp wrapper: d/dx of a pull-SpMM is the push-SpMM of the

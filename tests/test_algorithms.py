@@ -454,3 +454,28 @@ def test_sssp_retrace_same_graph_different_static_args():
     ):
         r = sssp(gs, 0, **kwargs)
         np.testing.assert_array_equal(np.asarray(r.dists)[: hg.n], exp)
+
+
+def test_sssp_delta_chained_rounds_match_oracle():
+    # round-5 compact chaining: reentry rounds derive the next compact
+    # frontier from the O(cape) edge arrays (no bitmap round-trip).
+    # Sweep chain capacities that force every regime — chaining disabled
+    # (0), tiny caps that overflow mid-run and fall back to bitmap
+    # rounds, and caps that hold the whole run chained — all bitwise
+    # equal to the Dijkstra oracle.
+    from mini_tpu.graph import grid2d
+
+    hg = grid2d(24, 24, seed=5, weighted=True)
+    gs = GraphSlice.from_host(hg)
+    for src in (0, 300):
+        exp, _ = sssp_cpu(hg, src)
+        for ccap in (0, 8, 64, 4096, None):
+            res = sssp(
+                gs, src=src, variant="delta", chain_cap=ccap,
+                with_preds=False,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.dists)[: hg.n], exp,
+                err_msg=f"chain_cap={ccap} src={src}",
+            )
+            assert not bool(res.sparse_overflowed)
