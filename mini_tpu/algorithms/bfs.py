@@ -42,6 +42,8 @@ from mini_tpu.ops.sparse import (
     expand_frontier,
     frontier_edge_count,
     default_tiers,
+    default_chain_cap,
+    visit_and_chain,
 )
 
 
@@ -58,18 +60,34 @@ class BfsResult:
     # the fit precondition broke and the result may be wrong.  The
     # reference exits on frontier overflow, `frontier.hxx:85-93`; we
     # return the flag instead of killing the device loop.)
+    num_chained_iterations: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.int32(0)
+    )  # int32: sparse rounds that rode the compact chain (round 5)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _bfs_impl(
     g: GraphSlice, src, alpha: float, max_iter: int, capv: int, cape: int,
-    with_preds: bool = True,
+    with_preds: bool = True, chain_cap: int = 0,
 ):
     n_pad = g.n_pad
     INT_MAX = jnp.iinfo(jnp.int32).max
 
     labels0 = jnp.full(n_pad, -1, jnp.int32).at[src].set(0)
-    frontier0 = jnp.zeros(n_pad, jnp.bool_).at[src].set(True)
+
+    tiers = default_tiers(g, capv, cape) if cape > 1 else []
+    ccap = int(chain_cap) if tiers else 0
+
+    # Round-5 compact chaining (cf. algorithms/sssp._sssp_delta_impl):
+    # a sparse round's next frontier is exactly its newly visited dsts,
+    # already sitting in the O(cape) edge arrays — so reentry rounds
+    # chain indices->indices (ops/sparse.visit_and_chain) with no O(n)
+    # work at all.  BFS needs NO bitmap maintenance either: the current
+    # frontier is always reconstructible as ``labels == it``, which is
+    # what the bitmap/dense rounds (and cond) use.
+    no_chain = (
+        jnp.zeros(max(ccap, 1), jnp.int32), jnp.int32(0), jnp.bool_(False)
+    )
 
     def dense_step(ops):
         """Full-edge gather-free sweep through the operator layer
@@ -88,9 +106,7 @@ def _bfs_impl(
             direction="push",
         )
         labels = compute(nxt, lambda l: jnp.full_like(l, it + 1), labels)
-        return labels, nxt.mask, jnp.bool_(False)
-
-    tiers = default_tiers(g, capv, cape) if cape > 1 else []
+        return (labels, jnp.bool_(False)) + no_chain
 
     def make_sparse_step(tier_capv, tier_cape):
         def sparse_step(ops):
@@ -98,23 +114,42 @@ def _bfs_impl(
             reference's LB sparse advance re-expressed (ops/sparse.py)."""
             labels, frontier, it = ops
             idx, cnt, v_ovf = compact_frontier(frontier, tier_capv)
-            _, dst, _, valid, total = expand_frontier(
-                g, idx, cnt, tier_cape
+            if ccap == 0:
+                _, dst, _, valid, total = expand_frontier(
+                    g, idx, cnt, tier_cape
+                )
+                sel = valid & (labels[dst] == -1)
+                dstw = jnp.where(sel, dst, n_pad)
+                labels = jnp.concatenate(
+                    [labels, jnp.full(1, -1, jnp.int32)]
+                ).at[dstw].set(it + 1, mode="drop")[:n_pad]
+                return (labels, v_ovf | (total > tier_cape)) + no_chain
+            labels2, cidx, ccnt, cfe, cok, e_ovf = visit_and_chain(
+                g, labels, idx, cnt, tier_cape, ccap, it + 1
             )
-            sel = valid & (labels[dst] == -1)
-            dstw = jnp.where(sel, dst, n_pad)
-            vis_ext = jnp.zeros(n_pad + 1, jnp.bool_)
-            vis_ext = vis_ext.at[dstw].max(sel, mode="drop")
-            new_vis = vis_ext[:n_pad]
-            labels = jnp.where(new_vis, it + 1, labels)
-            return labels, new_vis, v_ovf | (total > tier_cape)
+            cok = cok & (cfe <= ccap)
+            return labels2, v_ovf | e_ovf, cidx, ccnt, cok
 
         return sparse_step
 
     branches = [make_sparse_step(cv, ce) for cv, ce in tiers] + [dense_step]
 
-    def step(state):
-        labels, frontier, it, pulls, sparses, ovf = state
+    def chained_step(state):
+        """Reentry round riding the chained compact frontier — every
+        term O(chain_cap)."""
+        labels, it, pulls, sparses, ovf, nidx, ncnt, nok, chained = state
+        labels2, cidx, ccnt, cfe, cok, e_ovf = visit_and_chain(
+            g, labels, nidx, ncnt, ccap, ccap, it + 1
+        )
+        cok = cok & (cfe <= ccap)
+        return (
+            labels2, it + 1, pulls, sparses + 1, ovf | e_ovf,
+            cidx, ccnt, cok, chained + 1,
+        )
+
+    def bitmap_step(state):
+        labels, it, pulls, sparses, ovf, _, _, _, chained = state
+        frontier = labels == it  # reconstructed; no bitmap state at all
         frontier_len = jnp.sum(frontier, dtype=jnp.int32)
         num_unvisited = jnp.sum(
             (labels == -1) & (jnp.arange(n_pad) < g.n)
@@ -134,28 +169,36 @@ def _bfs_impl(
             fits = (fe <= ce) & (frontier_len <= cv)
             tier_idx = jnp.where(fits, jnp.int32(i), tier_idx)
         tier_idx = jnp.where(use_pull, jnp.int32(len(tiers)), tier_idx)
-        labels, new_vis, step_ovf = jax.lax.switch(
+        labels, step_ovf, cidx, ccnt, cok = jax.lax.switch(
             tier_idx, branches, (labels, frontier, it)
         )
         is_sparse = tier_idx < len(tiers)
         return (
             labels,
-            new_vis,
             it + 1,
             pulls + use_pull.astype(jnp.int32),
             sparses + is_sparse.astype(jnp.int32),
             ovf | step_ovf,
+            cidx, ccnt, cok, chained,
         )
 
-    def cond(state):
-        _, frontier, it, _, _, _ = state
-        return jnp.any(frontier) & (it < max_iter)
+    if ccap > 0:
+        def step(state):
+            return jax.lax.cond(state[7], chained_step, bitmap_step, state)
+    else:
+        step = bitmap_step
 
-    labels, _, it, pulls, sparses, ovf = jax.lax.while_loop(
-        cond,
-        step,
-        (labels0, frontier0, jnp.int32(0), jnp.int32(0), jnp.int32(0),
-         jnp.bool_(False)),
+    def cond(state):
+        labels, it = state[0], state[1]
+        return jnp.any(labels == it) & (it < max_iter)
+
+    state = (
+        labels0, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        jnp.bool_(False),
+    ) + no_chain + (jnp.int32(0),)
+    out = jax.lax.while_loop(cond, step, state)
+    labels, it, pulls, sparses, ovf, chained = (
+        out[0], out[1], out[2], out[3], out[4], out[8]
     )
 
     # predecessors reconstructed in one post-pass (equivalent to recording
@@ -179,7 +222,7 @@ def _bfs_impl(
         ).astype(jnp.int32)
     else:
         preds = jnp.full(n_pad, -1, jnp.int32)
-    return BfsResult(labels, preds, it, pulls, sparses, ovf)
+    return BfsResult(labels, preds, it, pulls, sparses, ovf, chained)
 
 
 def bfs(
@@ -189,10 +232,13 @@ def bfs(
     max_iter: int | None = None,
     sparse_capv: int | None = None,
     sparse_cape: int | None = None,
+    chain_cap: int | None = None,
 ) -> BfsResult:
     """Run BFS from ``src``.  ``alpha`` is the push->pull switch threshold
     (reference default ``1/num_nodes``, `tests/bfs/test_bfs.cu:30`);
     ``sparse_capv``/``sparse_cape`` bound the compact-push path (0 disables).
+    ``chain_cap`` bounds the compact-chained reentry rounds (round 5;
+    0 disables chaining, None = measured default).
     """
     if alpha is None:
         alpha = 1.0 / max(g.n, 1)
@@ -204,6 +250,8 @@ def bfs(
         sparse_capv = min(g.n_pad, max(2048, g.m_pad // 64))
     if sparse_cape is None:
         sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
+    if chain_cap is None:
+        chain_cap = default_chain_cap(g, int(sparse_cape))
     return _bfs_impl(
         g,
         jnp.asarray(src),
@@ -211,13 +259,17 @@ def bfs(
         int(max_iter),
         int(sparse_capv),
         int(sparse_cape),
+        True,
+        int(chain_cap),
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _bfs_batch_impl(g, srcs, alpha, max_iter, capv, cape, with_preds):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _bfs_batch_impl(g, srcs, alpha, max_iter, capv, cape, with_preds,
+                    chain_cap):
     def body(_, s):
-        r = _bfs_impl(g, s, alpha, max_iter, capv, cape, with_preds)
+        r = _bfs_impl(g, s, alpha, max_iter, capv, cape, with_preds,
+                      chain_cap)
         return None, r
 
     _, res = jax.lax.scan(body, None, srcs)
@@ -232,6 +284,7 @@ def bfs_batch(
     sparse_capv: int | None = None,
     sparse_cape: int | None = None,
     with_preds: bool = True,
+    chain_cap: int | None = None,
 ) -> BfsResult:
     """Multi-source BFS (Graph500-style batch): runs the single-source
     program once per source inside ONE jitted ``lax.scan``, so the ~25 ms
@@ -255,10 +308,12 @@ def bfs_batch(
         sparse_capv = min(g.n_pad, max(2048, g.m_pad // 64))
     if sparse_cape is None:
         sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
+    if chain_cap is None:
+        chain_cap = default_chain_cap(g, int(sparse_cape))
     srcs = jnp.atleast_1d(jnp.asarray(srcs, jnp.int32))
     return _bfs_batch_impl(
         g, srcs, float(alpha), int(max_iter), int(sparse_capv),
-        int(sparse_cape), bool(with_preds),
+        int(sparse_cape), bool(with_preds), int(chain_cap),
     )
 
 

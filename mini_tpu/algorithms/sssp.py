@@ -462,17 +462,7 @@ def sssp(
     )
 
 
-def _default_chain_cap(g: GraphSlice, sparse_cape: int) -> int:
-    """Capacity of the chained reentry rounds (round 5).
-
-    Chained rounds cost O(chain_cap) in every term (sort, top_k,
-    gathers, scatters), so smaller is faster — but a chain whose
-    frontier outgrows it falls back to an O(n)-floor bitmap round.
-    Light-edge reentry frontiers on the target family (grids, meshes)
-    are far smaller than the bitmap tier's m/64, so the default sits a
-    factor 4 below it, floored at 4096 to keep the fixed per-op
-    overheads amortized (sweep: scratch/bench_sssp_delta.py)."""
-    return int(min(sparse_cape, max(4096, g.m_pad // 256)))
+from mini_tpu.ops.sparse import default_chain_cap as _default_chain_cap
 
 
 def _default_delta(g: GraphSlice) -> float:

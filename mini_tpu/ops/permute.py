@@ -188,7 +188,10 @@ def segmented_scan_reduce(
         # independent boolean channels packed into an int32/uint32 lane
     }[op]
     m = vals.shape[0]
-    if max_seg_len is None:
+    if max_seg_len is None or max_seg_len > m:
+        # a contiguous segment cannot exceed the stream itself; an
+        # uncapped bound would shift by d >= m and break the concat
+        # shapes (hit by short per-band streams, round 5)
         max_seg_len = m
     x = vals
     tail = vals.shape[1:]

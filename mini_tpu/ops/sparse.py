@@ -192,6 +192,89 @@ def relax_and_chain(
     )
 
 
+def default_chain_cap(g: GraphSlice, sparse_cape: int) -> int:
+    """Capacity of the chained reentry rounds (round 5).
+
+    Chained rounds cost O(chain_cap) in every term (the 2-key sort,
+    top_k, the essential big-table gathers, the bounded scatters), so
+    smaller is faster — but a chain whose frontier outgrows it falls
+    back to an O(n)-floor bitmap round.  Light-edge reentry frontiers
+    on the target family (grids, meshes) are far smaller than the
+    bitmap tier's m/64; the default sits a factor 4 below it, floored
+    at 4096 to amortize fixed per-op overheads (measured sweep:
+    BASELINE.md round-5 chaining table)."""
+    return int(min(sparse_cape, max(4096, g.m_pad // 256)))
+
+
+def visit_and_chain(
+    g: GraphSlice,
+    labels: jnp.ndarray,  # int32[n_pad], -1 = unvisited
+    idx: jnp.ndarray,  # int32[capv] compact frontier (deduped, real ids)
+    cnt: jnp.ndarray,  # int32
+    cape: int,  # expansion capacity (caller guarantees fit)
+    capv_next: int,  # capacity of the derived next frontier
+    new_label,  # int32 scalar: depth stamp for newly visited dsts
+):
+    """One fused sparse BFS round: visit the compact frontier's
+    unvisited out-neighbours AND derive the next compact frontier from
+    the same cape-sized arrays (the BFS twin of :func:`relax_and_chain`
+    — no bitmap round-trip, no O(n) work at all).
+
+    Returns ``(labels2, next_idx, next_cnt, next_fe, next_ok, ovf)``;
+    ``next_ok`` is False when the round discovered nothing or the next
+    frontier overflows ``capv_next`` (callers fall back to the bitmap
+    path — the frontier is never silently truncated).
+    """
+    n_pad = g.n_pad
+    m_pad = g.m_pad
+    capv = idx.shape[0]
+    k = min(capv_next, cape)
+
+    in_range = jnp.arange(capv) < cnt
+    idxs = jnp.where(in_range, idx, 0)
+    ro = g.row_offsets[idxs].astype(jnp.int32)
+    degs = jnp.where(in_range, g.out_degrees[idxs], 0)
+    pos = exclusive_cumsum(degs)
+    total = pos[-1] + degs[-1]
+
+    starts = jnp.where(in_range, jnp.clip(pos, 0, cape), cape)
+    hist = jnp.zeros(cape + 1, jnp.int32).at[starts].add(1, mode="drop")
+    vslot = jnp.cumsum(hist[:cape]) - 1
+    vslot = jnp.clip(vslot, 0, capv - 1)
+
+    slots = jnp.arange(cape, dtype=jnp.int32)
+    rank = slots - pos[vslot]
+    eid = jnp.clip(ro[vslot] + rank, 0, m_pad - 1)
+    valid = (slots < total) & (rank >= 0) & (rank < degs[vslot])
+    dst = g.csr_dsts[eid]  # the essential big-table gathers: dst, label
+    sel = valid & (labels[dst] == -1)
+
+    dstw = jnp.where(sel, dst, jnp.int32(n_pad))
+    labels2 = labels.at[dstw].set(
+        jnp.int32(new_label), mode="drop"
+    )  # duplicate dsts all write the same stamp
+
+    sdst = jax.lax.sort(dstw)
+    prev = jnp.concatenate([jnp.full(1, -1, sdst.dtype), sdst[:-1]])
+    first = (sdst != prev) & (sdst < n_pad)
+    vals = jnp.where(first, jnp.int32(cape) - slots, jnp.int32(0))
+    top, _ = jax.lax.top_k(vals, k)
+    tpos = jnp.where(top > 0, jnp.int32(cape) - top, 0)
+    nidx = jnp.where(top > 0, sdst[tpos], 0)
+    if k < capv_next:
+        nidx = jnp.concatenate(
+            [nidx, jnp.zeros(capv_next - k, jnp.int32)]
+        )
+    ncnt = jnp.sum(first.astype(jnp.int32))
+    ndegs = jnp.where(
+        jnp.arange(capv_next) < jnp.minimum(ncnt, k),
+        g.out_degrees[nidx], 0,
+    )
+    nfe = jnp.sum(ndegs, dtype=jnp.int32)
+    nok = (ncnt <= k) & (ncnt > 0)
+    return labels2, nidx, jnp.minimum(ncnt, k), nfe, nok, total > cape
+
+
 def expand_frontier(
     g: GraphSlice,
     indices: jnp.ndarray,  # int32[capv]

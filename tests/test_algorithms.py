@@ -479,3 +479,28 @@ def test_sssp_delta_chained_rounds_match_oracle():
                 err_msg=f"chain_cap={ccap} src={src}",
             )
             assert not bool(res.sparse_overflowed)
+
+
+def test_bfs_chained_rounds_match_oracle():
+    # round-5 compact chaining for BFS: sparse reentry rounds derive the
+    # next frontier indices->indices (ops/sparse.visit_and_chain), with
+    # the bitmap path reconstructing the frontier as labels == it.
+    # Sweep caps covering disabled / overflow-fallback / fully-chained,
+    # all bitwise vs the oracle.
+    from mini_tpu.graph import grid2d
+
+    hg = grid2d(24, 24, seed=6)
+    gs = GraphSlice.from_host(hg)
+    for src in (0, 300):
+        exp = bfs_cpu(hg, src)
+        for ccap in (0, 8, 64, 4096, None):
+            res = bfs(gs, src=src, chain_cap=ccap)
+            np.testing.assert_array_equal(
+                np.asarray(res.labels)[: hg.n], exp,
+                err_msg=f"chain_cap={ccap} src={src}",
+            )
+            assert not bool(res.sparse_overflowed)
+            assert validate_preds(
+                np.asarray(res.labels)[: hg.n],
+                np.asarray(res.preds), hg, src,
+            )
