@@ -225,6 +225,21 @@ def _bfs_impl(
     return BfsResult(labels, preds, it, pulls, sparses, ovf, chained)
 
 
+def _auto_chain_cap(g: GraphSlice, sparse_cape: int) -> int:
+    """Default BFS chain capacity from a cheap family proxy.
+
+    Measured (BASELINE.md round-5 chaining table): chaining wins 2.27x
+    on grid-724 (every BFS round fits the chain) but is a ~4% LOSS on
+    delaunay-2^18 (frontiers outgrow the chain by round ~20, leaving
+    only the derivation surcharge) and irrelevant on RMAT (dense/pull
+    tiers).  Mean out-degree < 5 selects the grid/road-network family
+    where BFS wavefronts stay narrow; everything else keeps chaining
+    off.  (SSSP delta-stepping keeps chaining unconditionally — its
+    bucketing bounds the frontier by construction.)"""
+    deg = float(np.asarray(g.out_degrees)[: int(g.n)].mean())
+    return default_chain_cap(g, sparse_cape) if deg < 5.0 else 0
+
+
 def bfs(
     g: GraphSlice,
     src: int,
@@ -251,7 +266,7 @@ def bfs(
     if sparse_cape is None:
         sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
     if chain_cap is None:
-        chain_cap = default_chain_cap(g, int(sparse_cape))
+        chain_cap = _auto_chain_cap(g, int(sparse_cape))
     return _bfs_impl(
         g,
         jnp.asarray(src),
@@ -309,7 +324,7 @@ def bfs_batch(
     if sparse_cape is None:
         sparse_cape = min(g.m_pad, max(2048, g.m_pad // 64))
     if chain_cap is None:
-        chain_cap = default_chain_cap(g, int(sparse_cape))
+        chain_cap = _auto_chain_cap(g, int(sparse_cape))
     srcs = jnp.atleast_1d(jnp.asarray(srcs, jnp.int32))
     return _bfs_batch_impl(
         g, srcs, float(alpha), int(max_iter), int(sparse_capv),
